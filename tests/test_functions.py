@@ -1,0 +1,147 @@
+"""Unit tests for hashing, robots, and extraction (reference-pinned)."""
+
+import numpy as np
+
+from ieps_crawler_ray.functions import hashing, robots, extract
+
+
+# ------------------------------ hashing -----------------------------------
+
+def test_content_hash_uppercase_sha256():
+    # HashGenerator.scala:7-15 — hex uppercase SHA-256
+    assert hashing.content_hash("abc") == (
+        "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD")
+
+
+def test_url_hash128_stable_and_batch():
+    h1, h2 = hashing.url_hash128("http://a.gov.si/")
+    a1, a2 = hashing.url_hash128_many(["http://a.gov.si/", "http://b.gov.si/"])
+    assert a1[0] == h1 and a2[0] == h2
+    assert (a1[0], a2[0]) != (a1[1], a2[1])
+
+
+def test_rolling_fingerprint_deterministic():
+    f1 = hashing.rolling_fingerprint("the quick brown fox jumps over the lazy dog" * 5)
+    f2 = hashing.rolling_fingerprint("the quick brown fox jumps over the lazy dog" * 5)
+    assert np.array_equal(f1, f2)
+    assert f1.size >= 1
+
+
+# ------------------------------ robots ------------------------------------
+
+def test_robots_missing_allows_all_with_default_delay():
+    r = robots.parse_robots(None)
+    assert r.is_allowed("http://a.gov.si/anything")
+    assert r.get_delay_ms() == 4000  # SiteRobotsTxt.scala:18
+
+
+def test_robots_disallow_prefix():
+    r = robots.parse_robots("User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n")
+    assert not r.is_allowed("http://a.gov.si/private/x")
+    assert r.is_allowed("http://a.gov.si/public/x")
+    assert r.get_delay_ms() == 2000
+
+
+def test_robots_allow_overrides_longer_prefix():
+    r = robots.parse_robots(
+        "User-agent: *\nDisallow: /p/\nAllow: /p/ok/\n")
+    assert not r.is_allowed("http://a.gov.si/p/no")
+    assert r.is_allowed("http://a.gov.si/p/ok/yes")
+
+
+def test_robots_other_agent_ignored():
+    r = robots.parse_robots("User-agent: badbot\nDisallow: /\n")
+    assert r.is_allowed("http://a.gov.si/x")
+
+
+def test_robots_sitemaps_collected():
+    r = robots.parse_robots("Sitemap: http://a.gov.si/sitemap.xml\n")
+    assert r.sitemaps == ["http://a.gov.si/sitemap.xml"]
+
+
+def test_sitemap_loc_parse():
+    xml = ("<urlset><url><loc>http://a.gov.si/p/1</loc></url>"
+           "<url><loc> http://a.gov.si/p/2 </loc></url></urlset>")
+    assert robots.parse_sitemap_urls(xml) == [
+        "http://a.gov.si/p/1", "http://a.gov.si/p/2"]
+
+
+# ------------------------------ extract -----------------------------------
+
+HTML = """
+<html><body>
+<a href="http://site1.gov.si/p/1">one</a>
+<a href='http://site1.gov.si/p/2#frag'>two</a>
+<a href="http://other.gov.si/p/9">cross</a>
+<a href="http://site1.gov.si/p/1">dupe</a>
+<a href="http://site1.gov.si/doc/a.pdf">doc</a>
+<a href="http://site1.gov.si/z.zip">zip</a>
+<a href="/p/3">rooted</a>
+<a href="http://example.com/out">outscope</a>
+<div onclick="http://site1.gov.si/p/4">click</div>
+<img src="http://site1.gov.si/img/i1.png" alt="cap one">
+<img src="http://other.gov.si/img/i2.png" alt="x">
+<img src="img/rel.png">
+</body></html>
+"""
+
+
+def test_all_links_order_and_fallback():
+    links = extract.all_links(HTML, "site1.gov.si")
+    # a[href] order first, then onclick
+    assert links[0] == "http://site1.gov.si/p/1/"
+    assert links[1] == "http://site1.gov.si/p/2/"
+    assert "http://site1.gov.si/p/4/" in links  # onclick
+    assert "http:///p/3/" in links             # rooted href keeps empty host
+
+
+def test_page_links_filters():
+    links = extract.all_links(HTML, "site1.gov.si")
+    pl = extract.page_links(links, "gov.si")
+    assert "http://site1.gov.si/doc/a.pdf" not in pl   # data ext excluded
+    assert "http://site1.gov.si/z.zip" not in pl
+    assert "http://example.com/out/" not in pl         # scope filter
+    assert "http:///p/3/" not in pl                    # /// filter
+    assert pl.count("http://site1.gov.si/p/1/") == 1    # distinct
+    assert "http://other.gov.si/p/9/" in pl             # cross-domain kept
+
+
+def test_data_links_no_distinct_no_scope():
+    links = extract.all_links(HTML + '<a href="http://x.com/b.docx">d</a>',
+                              "site1.gov.si")
+    dl = extract.data_links(links)
+    assert "http://site1.gov.si/doc/a.pdf" in dl
+    assert "http://x.com/b.docx" in dl  # no scope filter (faithful)
+
+
+def test_con_type_quirk():
+    # char-code slice quirk: last char 'g' (103) — short urls → full ext
+    assert extract.con_type("http://a.gov.si/img/x.png") == "PNG"
+    assert extract.con_type("http://a.gov.si/img/x.jpeg") == "JPEG"
+    # a url longer than ord(last char) gets truncated (faithful quirk)
+    long_url = "http://a.gov.si/" + "x" * 120 + ".png"
+    ct = extract.con_type(long_url)
+    assert ct == ""  # rfind('.')+1 == 137 > ord('g')=103 → empty slice
+
+
+def test_image_links_same_domain_only_in_extract_page():
+    res = extract.extract_page(HTML, "site1.gov.si", "gov.si")
+    srcs = [u for (u, t, a) in res["images"]]
+    assert srcs == ["http://site1.gov.si/img/i1.png"]
+    assert res["images"][0][1] == "PNG"
+    assert res["images"][0][2] == "cap one"
+    # relative src canonicalizes to junk host and is dropped by domain filter
+    assert all("rel.png" not in s for s in srcs)
+
+
+def test_extract_page_split():
+    res = extract.extract_page(HTML, "site1.gov.si", "gov.si")
+    assert "http://site1.gov.si/p/1/" in res["page_links_local"]
+    assert "http://other.gov.si/p/9/" in res["page_links_remote"]
+    assert res["data_links"] == ["http://site1.gov.si/doc/a.pdf"]
+    assert "http://other.gov.si/p/9/" in res["edges"]
+
+
+def test_mime_map():
+    assert extract.MIME_TO_DATA_TYPE["application/pdf"] == "PDF"
+    assert extract.MIME_TO_DATA_TYPE["application/msword"] == "DOC"
