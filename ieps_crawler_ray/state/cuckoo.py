@@ -1,0 +1,283 @@
+"""Cuckoo filter + bloom filter + the two-tier exact SeenSet shard.
+
+The reference's URL-seen membership is a Postgres ``unique(url)`` index
+queried per record (``db/CrawlerDIO.scala:102-134``). The north_rule replaces
+it with a sharded cuckoo-filter seen set with a bloom spill tier. One
+``SeenShard`` here is the state held by ONE Ray actor
+(``state/seen_actors.py``); sharding is by ``h1 % num_shards``.
+
+Design for 10^10 keys:
+* cuckoo filter (16-bit fingerprints, 4-slot buckets) answers "definitely
+  new" with no false negatives — the overwhelmingly common case on a crawl
+  frontier — in O(1) numpy probes per batch.
+* positives (~0.1% false + true dups) are verified against the exact tier:
+  a small "hot" python set plus immutable sorted int64 runs ("spills", the
+  bloom-guarded cold tier). Runs are produced by periodic compaction and
+  would live in object storage at real scale; each run carries a bloom
+  filter so cold probes usually touch nothing.
+* keys are 128-bit url hashes (h1, h2) so exactness holds at 10^10 keys;
+  h1 (uniform) doubles as the shard / cuckoo key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FP_MASK = np.uint64(0xFFFF)
+_EMPTY = np.uint16(0)
+
+
+class CuckooFilter:
+    """4-way bucketed cuckoo filter over uint64 keys, 16-bit fingerprints."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 0x5EED):
+        n_buckets = 1
+        while n_buckets * 4 < capacity * 1.05:
+            n_buckets <<= 1
+        self.n_buckets = n_buckets
+        self.mask = np.uint64(n_buckets - 1)
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.stash: set = set()
+        self.count = 0
+        self._rng = np.random.default_rng(seed)
+
+    # fingerprint: 16 bits, never 0
+    @staticmethod
+    def _fp(keys: np.ndarray) -> np.ndarray:
+        fp = (keys >> np.uint64(48)) & _FP_MASK
+        fp = np.where(fp == 0, np.uint64(1), fp)
+        return fp.astype(np.uint16)
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (keys & self.mask).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key cuckoo: alt index = i1 xor hash(fp)
+        h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & self.mask
+        return (i1.astype(np.uint64) ^ h).astype(np.int64)
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe. No false negatives."""
+        keys = keys.astype(np.uint64, copy=False)
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp)
+        t = self.table
+        hit = (t[i1] == fp[:, None]).any(axis=1) | (t[i2] == fp[:, None]).any(axis=1)
+        if self.stash:
+            for j in np.nonzero(~hit)[0]:
+                if (int(fp[j]), int(i1[j])) in self.stash:
+                    hit[j] = True
+        return hit
+
+    def add_many(self, keys: np.ndarray) -> None:
+        keys = keys.astype(np.uint64, copy=False)
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp)
+        t = self.table
+        for j in range(len(keys)):
+            f = fp[j]
+            a, b = int(i1[j]), int(i2[j])
+            placed = False
+            for idx in (a, b):
+                row = t[idx]
+                free = np.nonzero(row == _EMPTY)[0]
+                if free.size:
+                    row[free[0]] = f
+                    placed = True
+                    break
+            if not placed:
+                cur_idx, cur_fp = a, int(f)
+                for _ in range(self.MAX_KICKS):
+                    slot = int(self._rng.integers(0, 4))
+                    cur_fp, t[cur_idx, slot] = int(t[cur_idx, slot]), cur_fp
+                    alt = int((np.uint64(cur_idx)
+                               ^ ((np.uint64(cur_fp) * np.uint64(0x5BD1E995))
+                                  & self.mask)))
+                    row = t[alt]
+                    free = np.nonzero(row == _EMPTY)[0]
+                    if free.size:
+                        row[free[0]] = cur_fp
+                        placed = True
+                        break
+                    cur_idx = alt
+                if not placed:
+                    self.stash.add((cur_fp, cur_idx))
+            self.count += 1
+
+    def snapshot(self) -> dict:
+        return {"table": self.table.copy(),
+                "stash": np.array(sorted(self.stash), dtype=np.int64).reshape(-1, 2),
+                "count": self.count}
+
+    @classmethod
+    def restore(cls, snap: dict) -> "CuckooFilter":
+        obj = cls.__new__(cls)
+        obj.table = snap["table"].copy()
+        obj.n_buckets = obj.table.shape[0]
+        obj.mask = np.uint64(obj.n_buckets - 1)
+        obj.stash = {(int(a), int(b)) for a, b in snap["stash"]}
+        obj.count = int(snap["count"])
+        obj._rng = np.random.default_rng(0x5EED)
+        return obj
+
+
+class BloomFilter:
+    """Simple 2-hash bloom over uint64 keys (guards cold spill runs)."""
+
+    def __init__(self, capacity: int, bits_per_key: int = 10):
+        n_bits = 1
+        while n_bits < capacity * bits_per_key:
+            n_bits <<= 1
+        self.n_bits = n_bits
+        self.mask = np.uint64(n_bits - 1)
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, keys: np.ndarray):
+        k = keys.astype(np.uint64, copy=False)
+        p1 = k & self.mask
+        p2 = ((k >> np.uint64(17)) * np.uint64(0x9E3779B97F4A7C15)) & self.mask
+        return p1, p2
+
+    def add_many(self, keys: np.ndarray) -> None:
+        for p in self._positions(keys):
+            np.bitwise_or.at(self.bits, (p >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))
+
+    def might_contain_many(self, keys: np.ndarray) -> np.ndarray:
+        p1, p2 = self._positions(keys)
+        b1 = (self.bits[(p1 >> np.uint64(3)).astype(np.int64)]
+              >> (p1 & np.uint64(7)).astype(np.uint8)) & 1
+        b2 = (self.bits[(p2 >> np.uint64(3)).astype(np.int64)]
+              >> (p2 & np.uint64(7)).astype(np.uint8)) & 1
+        return (b1 & b2).astype(bool)
+
+
+class SeenShard:
+    """Exact 128-bit membership with cuckoo fast path and bloom-guarded
+    sorted spill runs (see module docstring)."""
+
+    def __init__(self, capacity_hint: int = 1 << 16, hot_limit: int = 1 << 18):
+        self.cuckoo = CuckooFilter(capacity_hint)
+        self.hot: set = set()            # (h1, h2) recent exact keys
+        self.runs: list = []             # [(sorted_h1, h2_parallel, bloom)]
+        self.hot_limit = hot_limit
+        self.n = 0
+
+    def _exact_contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h1), dtype=bool)
+        hot = self.hot
+        for j in range(len(h1)):
+            if (h1[j], h2[j]) in hot:
+                out[j] = True
+        todo = ~out
+        for s1, s2, bloom in self.runs:
+            if not todo.any():
+                break
+            idx = np.nonzero(todo)[0]
+            maybe = bloom.might_contain_many(h1[idx].view(np.uint64))
+            cand = idx[maybe]
+            if cand.size == 0:
+                continue
+            pos = np.searchsorted(s1, h1[cand])
+            for j, p in zip(cand, pos):
+                p = int(p)
+                while p < len(s1) and s1[p] == h1[j]:
+                    if s2[p] == h2[j]:
+                        out[j] = True
+                        todo[j] = False
+                        break
+                    p += 1
+        return out
+
+    def contains_many(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        h1 = np.asarray(h1, dtype=np.int64)
+        h2 = np.asarray(h2, dtype=np.int64)
+        maybe = self.cuckoo.contains_many(h1.view(np.uint64))
+        out = np.zeros(len(h1), dtype=bool)
+        if maybe.any():
+            idx = np.nonzero(maybe)[0]
+            out[idx] = self._exact_contains(h1[idx], h2[idx])
+        return out
+
+    def add_many(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        h1 = np.asarray(h1, dtype=np.int64)
+        h2 = np.asarray(h2, dtype=np.int64)
+        if self.cuckoo.count + len(h1) > self.cuckoo.n_buckets * 4 * 0.9:
+            # rebuild the cuckoo filter at 2x from the exact tier
+            snap = self.snapshot()
+            bigger = CuckooFilter(max((self.cuckoo.n_buckets * 4) * 2,
+                                      len(snap["h1"]) + len(h1)))
+            if len(snap["h1"]):
+                bigger.add_many(snap["h1"].view(np.uint64))
+            self.cuckoo = bigger
+        self.cuckoo.add_many(h1.view(np.uint64))
+        for a, b in zip(h1.tolist(), h2.tolist()):
+            if (a, b) not in self.hot:
+                self.hot.add((a, b))
+                self.n += 1
+        if len(self.hot) > self.hot_limit:
+            self._compact()
+
+    def contains_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Returns mask of NEW keys; adds them. Duplicates WITHIN the call
+        resolve first-occurrence-wins (deterministic in input order)."""
+        h1 = np.asarray(h1, dtype=np.int64)
+        h2 = np.asarray(h2, dtype=np.int64)
+        seen = self.contains_many(h1, h2)
+        new = np.zeros(len(h1), dtype=bool)
+        batch_seen: set = set()
+        for j in range(len(h1)):
+            if seen[j]:
+                continue
+            key = (h1[j], h2[j])
+            if key in batch_seen:
+                continue
+            batch_seen.add(key)
+            new[j] = True
+        if new.any():
+            self.add_many(h1[new], h2[new])
+        return new
+
+    def _compact(self) -> None:
+        arr = np.array(sorted(self.hot), dtype=np.int64).reshape(-1, 2)
+        s1 = np.ascontiguousarray(arr[:, 0])
+        s2 = np.ascontiguousarray(arr[:, 1])
+        bloom = BloomFilter(len(s1))
+        bloom.add_many(s1.view(np.uint64))
+        self.runs.append((s1, s2, bloom))
+        self.hot = set()
+        # merge runs when too many (logarithmic tiering)
+        if len(self.runs) > 8:
+            a1 = np.concatenate([r[0] for r in self.runs])
+            a2 = np.concatenate([r[1] for r in self.runs])
+            order = np.lexsort((a2, a1))
+            s1, s2 = a1[order], a2[order]
+            bloom = BloomFilter(len(s1))
+            bloom.add_many(s1.view(np.uint64))
+            self.runs = [(s1, s2, bloom)]
+
+    def __len__(self) -> int:
+        return self.n
+
+    def snapshot(self) -> dict:
+        """Checkpointable state: exact keys only (filters are rebuilt)."""
+        parts1 = [r[0] for r in self.runs]
+        parts2 = [r[1] for r in self.runs]
+        if self.hot:
+            arr = np.array(sorted(self.hot), dtype=np.int64).reshape(-1, 2)
+            parts1.append(np.ascontiguousarray(arr[:, 0]))
+            parts2.append(np.ascontiguousarray(arr[:, 1]))
+        h1 = np.concatenate(parts1) if parts1 else np.empty(0, np.int64)
+        h2 = np.concatenate(parts2) if parts2 else np.empty(0, np.int64)
+        return {"h1": h1, "h2": h2}
+
+    @classmethod
+    def restore(cls, snap: dict) -> "SeenShard":
+        obj = cls(capacity_hint=max(1 << 16, len(snap["h1"]) * 2))
+        if len(snap["h1"]):
+            obj.add_many(snap["h1"], snap["h2"])
+        return obj
