@@ -69,16 +69,16 @@ def schedule_domain_rows(rows: list, clock_ms: int, next_seq: int,
     """
     ordered = sorted(rows, key=sort_key)
     out = []
-    seen_urls: set = set()
+    stored_urls: set = set()   # urls that store a page row this round
     first_by_filename: dict = {}
     for r in ordered:
         kind = r["kind"]
         if kind == KIND_HTML:
             if r.get("seen"):
                 continue  # already stored in an earlier round
-            if r["url"] in seen_urls:
+            if r["url"] in stored_urls:
                 continue  # intra-round duplicate: first by sort key wins
-            seen_urls.add(r["url"])
+            stored_urls.add(r["url"])
         r = dict(r)
         r["seq"] = next_seq
         next_seq += 1
@@ -86,7 +86,11 @@ def schedule_domain_rows(rows: list, clock_ms: int, next_seq: int,
         if r.get("allowed", True):
             if kind == KIND_HTML or download:
                 clock_ms += int(r.get("delay_ms", 4000))
-        if kind in (KIND_IMAGE, KIND_DATA):
+        if kind == KIND_HTML:
+            r["stores_page"] = True
+            r["first_in_round"] = True
+            r["round_first_parent"] = None
+        else:
             fn = r["url"]
             if fn not in first_by_filename:
                 first_by_filename[fn] = r.get("parent_url")
@@ -94,5 +98,14 @@ def schedule_domain_rows(rows: list, clock_ms: int, next_seq: int,
             else:
                 r["first_in_round"] = False
             r["round_first_parent"] = first_by_filename[fn]
+            if not r.get("allowed", True):
+                # handleDisallowed stores a page row for image/data entries
+                # too, but insert-if-not-exists makes only the first stick
+                sp = (fn not in stored_urls) and not r.get("seen")
+                if sp:
+                    stored_urls.add(fn)
+                r["stores_page"] = sp
+            else:
+                r["stores_page"] = False
         out.append(r)
     return out, clock_ms, next_seq

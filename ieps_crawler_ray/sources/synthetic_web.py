@@ -78,6 +78,11 @@ class SyntheticWeb:
         lines = ["User-agent: *"]
         if 10 <= r < 25:
             lines.append("Disallow: /private/")
+        elif 25 <= r < 30:
+            # a band of domains disallows images/docs — exercises the
+            # DISALLOWED-page path for kind 1/2 frontier entries
+            lines.append("Disallow: /img/")
+            lines.append("Disallow: /doc/")
         delay = (1, 2, 4)[_stable_u64("delay", self.cfg.seed, d) % 3]
         if r % 3 != 0:
             lines.append(f"Crawl-delay: {delay}")

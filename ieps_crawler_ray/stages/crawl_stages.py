@@ -1,0 +1,402 @@
+"""map_batches / map_groups stage bodies for the crawl pipeline.
+
+Dataflow per BFS round (pipelines/crawl.py drives it):
+
+  frontier candidates (Arrow)
+    -> map_batches(seen_robots_fn)            stateless tasks; batched actor
+                                              RPCs: seen.contains + robots gate
+    -> groupby('domain').map_groups(schedule) THE domain-hash shuffle; per-
+                                              domain FIFO + politeness clock
+    -> map_batches(FetchStage, concurrency=N) actor pool: fetch + classify +
+                                              decode + state registration
+    -> write_parquet(rounds/gen=k/fetched)
+    -> map_batches(parse_fn) over fetch-ok    stateless; emits next-round
+       rows (pruned read-back)                candidates (exploded Arrow)
+
+All stages are Arrow-native except the schedule group fn (pandas in, the
+per-group python loop IS the semantics — bounded by the per-round per-domain
+candidate count, and domains are hash-spread across groups).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.canonical import canonicalize
+from ..functions.extract import MIME_TO_DATA_TYPE, extract_page
+from ..functions.fetchclass import (PT_DISALLOWED, PT_HTML, classify_fetch,
+                                    fetch_ok_for_extraction)
+from ..functions.hashing import url_hash128_many
+from ..functions.schedule import (KIND_DATA, KIND_HTML, KIND_IMAGE,
+                                  schedule_domain_rows)
+from ..state.actors import shard_of_str
+from .. import schema as S
+
+_H1_MASK = (1 << 63) - 1
+
+
+def shard_of_h1(h1, n: int):
+    return (np.asarray(h1, dtype=np.int64) & _H1_MASK) % n
+
+
+def _fanout_by_shard(shards: np.ndarray, n: int):
+    """indices grouped per shard id."""
+    order = np.argsort(shards, kind="stable")
+    sorted_shards = shards[order]
+    bounds = np.searchsorted(sorted_shards, np.arange(n + 1))
+    return [(s, order[bounds[s]:bounds[s + 1]]) for s in range(n)
+            if bounds[s + 1] > bounds[s]]
+
+
+# ---------------------------------------------------------------------------
+# stage 1: seen membership (contains only) + robots gate
+# ---------------------------------------------------------------------------
+
+def make_seen_robots_fn(handles: dict):
+    seen_actors = handles["seen"]
+    robots_actors = handles["robots"]
+    n_seen = len(seen_actors)
+    n_rob = len(robots_actors)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        kind = batch.column("kind").to_numpy()
+        h1 = batch.column("h1").to_numpy()
+        h2 = batch.column("h2").to_numpy()
+        urls = batch.column("url").to_pylist()
+        domains = batch.column("domain").to_pylist()
+
+        # membership for ALL kinds: disallowed image/data entries also store
+        # page rows, so their urls live in the seen set too
+        seen = np.zeros(nrows, dtype=bool)
+        shards = shard_of_h1(h1, n_seen)
+        parts = _fanout_by_shard(shards, n_seen)
+        refs = [seen_actors[s].contains.remote(h1[idx], h2[idx])
+                for s, idx in parts]
+        for (s, idx), res in zip(parts, ray.get(refs)):
+            seen[idx] = res
+
+        dshards = np.array([shard_of_str(d, n_rob) for d in domains])
+        parts = _fanout_by_shard(dshards, n_rob)
+        allowed = np.ones(nrows, dtype=bool)
+        delay = np.full(nrows, 4000, dtype=np.int64)
+        refs = [robots_actors[s].check.remote(
+            [domains[i] for i in idx], [urls[i] for i in idx])
+            for s, idx in parts]
+        for (s, idx), (a, d) in zip(parts, ray.get(refs)):
+            allowed[idx] = a
+            delay[idx] = d
+
+        return (batch.append_column("seen", pa.array(seen))
+                .append_column("allowed", pa.array(allowed))
+                .append_column("delay_ms", pa.array(delay)))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# stage 2: per-domain schedule (inside groupby('domain').map_groups)
+# ---------------------------------------------------------------------------
+
+def make_schedule_fn(state_ref, seeds: list):
+    """state_ref: ray.put dict {domain: (clock_ms, next_seq, download)}."""
+
+    def fn(df):
+        import pandas as pd
+        state = ray.get(state_ref)
+        dom = df["domain"].iloc[0]
+        clock, nseq, download = state.get(
+            dom, (0, 0, any(dom in s for s in seeds)))
+        rows = df.to_dict("records")
+        sched, clock, nseq = schedule_domain_rows(rows, clock, nseq, download)
+        if not sched:
+            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype)
+                                 for c in df.columns})
+        out = pd.DataFrame(sched)
+        out["download"] = download
+        out["clock_after"] = clock
+        out["next_seq_after"] = nseq
+        return out
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# stage 3: fetch + classify + decode + state registration  (actor pool)
+# ---------------------------------------------------------------------------
+
+_IMG_ID = re.compile(r"img(\d{8})")
+
+
+class FetchStage:
+    """One actor of the fetch pool. __init__ once per actor: resolve the
+    (simulated) web client and state-actor handles
+    (ST5 analog — HeadlessBrowser.scala:27-31 one WebClient per worker)."""
+
+    def __init__(self, web_ref, handles: dict, round_no: int):
+        self.web = (ray.get(web_ref) if isinstance(web_ref, ray.ObjectRef)
+                    else web_ref)
+        self.handles = handles
+        self.round_no = round_no
+
+    # -- helpers ----------------------------------------------------------
+
+    def _seen_add(self, h1, h2):
+        actors = self.handles["seen"]
+        parts = _fanout_by_shard(shard_of_h1(h1, len(actors)), len(actors))
+        ray.get([actors[s].add.remote(h1[idx], h2[idx]) for s, idx in parts])
+
+    def _hash_observe(self, hashes, domains, seqs):
+        actors = self.handles["hash"]
+        shards = np.array([shard_of_str(h, len(actors)) for h in hashes])
+        parts = _fanout_by_shard(shards, len(actors))
+        ray.get([actors[s].observe.remote(
+            [hashes[i] for i in idx], [domains[i] for i in idx],
+            [int(seqs[i]) for i in idx]) for s, idx in parts])
+
+    def _register(self, pool: str, filenames, parents):
+        actors = self.handles[pool]
+        shards = np.array([shard_of_str(f, len(actors)) for f in filenames])
+        parts = _fanout_by_shard(shards, len(actors))
+        existed = np.zeros(len(filenames), dtype=bool)
+        orig = [None] * len(filenames)
+        refs = [actors[s].register.remote(
+            [filenames[i] for i in idx], [parents[i] for i in idx],
+            self.round_no) for s, idx in parts]
+        for (s, idx), (ex, op) in zip(parts, ray.get(refs)):
+            existed[idx] = ex
+            for j, i in enumerate(idx):
+                orig[i] = op[j]
+        return existed, orig
+
+    def _corpus_caption(self, filename: str):
+        m = _IMG_ID.search(filename)
+        if m:
+            idx = int(m.group(1))
+            if idx < self.web.n_corpus:
+                return self.web._corpus_caps[idx]
+        return None
+
+    # -- the batch --------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        # cross-round seen registration: every row that stores a page row
+        store = [r for r in rows if r.get("stores_page")]
+        if store:
+            self._seen_add(
+                np.array([r["h1"] for r in store], dtype=np.int64),
+                np.array([r["h2"] for r in store], dtype=np.int64))
+
+        obs_h, obs_d, obs_s = [], [], []
+        # registry round-trip for kind 1/2 (batched, idempotent)
+        imgs = [r for r in rows if r["kind"] == KIND_IMAGE and r["allowed"]]
+        datas = [r for r in rows if r["kind"] == KIND_DATA and r["allowed"]]
+        img_existed: dict = {}
+        img_orig: dict = {}
+        if imgs:
+            ex, op = self._register(
+                "img_reg", [r["url"] for r in imgs],
+                [r["round_first_parent"] for r in imgs])
+            for r, e, o in zip(imgs, ex, op):
+                img_existed[r["url"]] = bool(e)
+                img_orig[r["url"]] = o
+        data_existed: dict = {}
+        if datas:
+            ex, _ = self._register(
+                "data_reg", [r["url"] for r in datas],
+                [r["round_first_parent"] for r in datas])
+            for r, e in zip(datas, ex):
+                data_existed[r["url"]] = bool(e)
+
+        for r in rows:
+            o = {k: r.get(k) for k in
+                 ("url", "h1", "h2", "domain", "kind", "parent_url", "seq",
+                  "fetch_time", "allowed", "delay_ms", "download",
+                  "stores_page", "con_type")}
+            o["round"] = self.round_no
+            o.update({"page_type": None, "http_status": None, "html": None,
+                      "content_hash": None, "load_time_ms": None,
+                      "is_duplicate": None, "downloaded": None, "data": None,
+                      "content_type": None, "data_type": None, "w": None,
+                      "h": None, "fmt": None, "phash": None, "caption": None})
+            kind = r["kind"]
+            if not r["allowed"]:
+                o["page_type"] = PT_DISALLOWED
+                out.append(o)
+                continue
+            if kind == KIND_HTML:
+                cls = classify_fetch(self.web.fetch(r["url"]))
+                o.update({"page_type": cls["page_type"],
+                          "http_status": cls["http_status"],
+                          "html": cls["html"],
+                          "content_hash": cls["content_hash"],
+                          "load_time_ms": cls["load_time_ms"]})
+                if cls["page_type"] == PT_HTML:
+                    obs_h.append(cls["content_hash"])
+                    obs_d.append(r["domain"])
+                    obs_s.append(r["seq"])
+                out.append(o)
+                continue
+            # images / page data
+            first = r["first_in_round"]
+            if kind == KIND_IMAGE:
+                existed = img_existed.get(r["url"], True)
+                dup = existed or not first
+                o["is_duplicate"] = dup
+                o["parent_url"] = (img_orig.get(r["url"])
+                                   if dup else r.get("parent_url"))
+                fetch_bytes = (not existed) and first and r["download"]
+                if fetch_bytes:
+                    raw = self.web.fetch(r["url"])
+                    st = raw.get("status")
+                    if st is not None and 200 <= st < 400:
+                        o["data"] = raw.get("data")
+                        o["content_type"] = raw.get("content_type")
+                o["downloaded"] = o["data"] is not None
+                if o["data"] is not None:
+                    try:
+                        from ..functions import image_codec as ic
+                        img, fmt = ic.decode_image(o["data"])
+                        o["w"], o["h"] = img.shape[1], img.shape[0]
+                        o["fmt"] = fmt
+                        o["phash"] = ic.phash64(img)
+                    except Exception:
+                        pass
+                cap = r.get("alt")
+                if cap is None:
+                    cap = self._corpus_caption(r["url"])
+                o["caption"] = cap
+            else:
+                existed = data_existed.get(r["url"], True)
+                dup = existed or not first
+                o["is_duplicate"] = dup
+                fetch_bytes = (not existed) and first and r["download"]
+                if fetch_bytes:
+                    raw = self.web.fetch(r["url"])
+                    st = raw.get("status")
+                    if st is not None and 200 <= st < 400:
+                        o["data"] = raw.get("data")
+                        o["content_type"] = raw.get("content_type")
+                        o["data_type"] = MIME_TO_DATA_TYPE.get(
+                            raw.get("content_type"))
+                o["downloaded"] = o["data"] is not None
+            out.append(o)
+
+        if obs_h:
+            self._hash_observe(obs_h, obs_d, obs_s)
+        return pa.Table.from_pylist(out, schema=S.FETCHED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# stage 4: duplicate-label query (after the fetch barrier)
+# ---------------------------------------------------------------------------
+
+def make_dup_query_fn(handles: dict):
+    actors = handles["hash"]
+    n = len(actors)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ptypes = batch.column("page_type").to_pylist()
+        chashes = batch.column("content_hash").to_pylist()
+        domains = batch.column("domain").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        h1s = batch.column("h1").to_numpy()
+        idx_all = np.array([i for i, (pt, ch) in enumerate(zip(ptypes, chashes))
+                            if pt == PT_HTML and ch is not None], dtype=np.int64)
+        dup = np.zeros(batch.num_rows, dtype=bool)
+        if idx_all.size:
+            hashes = [chashes[i] for i in idx_all]
+            shards = np.array([shard_of_str(h, n) for h in hashes])
+            parts = _fanout_by_shard(shards, n)
+            refs = [actors[s].is_duplicate.remote(
+                [hashes[i] for i in idx],
+                [domains[idx_all[i]] for i in idx],
+                [seqs[idx_all[i]] for i in idx]) for s, idx in parts]
+            for (s, idx), res in zip(parts, ray.get(refs)):
+                dup[idx_all[idx]] = res
+        return pa.table({"h1": pa.array(h1s[dup], pa.int64())})
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# stage 5: parse + explode next-round candidates
+# ---------------------------------------------------------------------------
+
+def make_parse_fn(scope: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        domains = batch.column("domain").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        out_url, out_dom, out_kind = [], [], []
+        out_parent, out_pdom, out_pseq = [], [], []
+        out_cls, out_pos, out_ct, out_alt = [], [], [], []
+
+        def emit(u, dom, kind, parent, pdom, pseq, cls, pos, ct=None, alt=None):
+            out_url.append(u)
+            out_dom.append(dom)
+            out_kind.append(kind)
+            out_parent.append(parent)
+            out_pdom.append(pdom)
+            out_pseq.append(pseq)
+            out_cls.append(cls)
+            out_pos.append(pos)
+            out_ct.append(ct)
+            out_alt.append(alt)
+
+        from ..functions.canonical import extract_domain
+        for u, dom, seq, html in zip(urls, domains, seqs, htmls):
+            if html is None:
+                continue
+            res = extract_page(html, dom, scope)
+            for i, du in enumerate(res["data_links"]):
+                emit(du, dom, KIND_DATA, u, dom, seq, 0, i)
+            for i, (iu, ct, alt) in enumerate(res["images"]):
+                emit(iu, dom, KIND_IMAGE, u, dom, seq, 1, i, ct, alt)
+            for i, lu in enumerate(res["edges"]):
+                tdom = extract_domain(lu)
+                if not tdom:
+                    continue
+                emit(lu, tdom, KIND_HTML, u, dom, seq, 2, i)
+
+        h1, h2 = url_hash128_many(out_url)
+        return pa.table({
+            "url": pa.array(out_url, pa.string()),
+            "h1": pa.array(h1), "h2": pa.array(h2),
+            "domain": pa.array(out_dom, pa.string()),
+            "kind": pa.array(out_kind, pa.int8()),
+            "parent_url": pa.array(out_parent, pa.string()),
+            "p_dom": pa.array(out_pdom, pa.string()),
+            "p_seq": pa.array(out_pseq, pa.int64()),
+            "cls": pa.array(out_cls, pa.int32()),
+            "pos": pa.array(out_pos, pa.int32()),
+            "con_type": pa.array(out_ct, pa.string()),
+            "alt": pa.array(out_alt, pa.string()),
+        }, schema=S.FRONTIER_SCHEMA)
+
+    return fn
+
+
+def candidate_rows_for_urls(urls_info: list) -> pa.Table:
+    """Driver helper: build frontier rows (roots / sitemap urls).
+    urls_info: list of dicts with url/domain/kind/p_dom/p_seq/cls/pos."""
+    rows = []
+    for info in urls_info:
+        u = info["url"]
+        rows.append({
+            "url": u, "domain": info["domain"], "kind": info.get("kind", 0),
+            "parent_url": None, "p_dom": info.get("p_dom", ""),
+            "p_seq": info.get("p_seq", -1), "cls": info.get("cls", -1),
+            "pos": info.get("pos", 0), "con_type": None, "alt": None,
+        })
+    h1, h2 = url_hash128_many([r["url"] for r in rows])
+    for r, a, b in zip(rows, h1, h2):
+        r["h1"], r["h2"] = int(a), int(b)
+    return pa.Table.from_pylist(rows, schema=S.FRONTIER_SCHEMA)

@@ -1,0 +1,132 @@
+"""Ray engine vs single-threaded oracle — exact conformance
+(SURVEY.md §5.2 / FIXTURES.md F5: URL-seen set equality, per-domain order,
+pages/images/page_data/links value equality, logical politeness clock)."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ieps_crawler_ray.config import CrawlConfig
+from ieps_crawler_ray.pipelines import crawl as C
+from ieps_crawler_ray.pipelines.oracle import OracleCrawler
+from ieps_crawler_ray.sources.corpus import build_corpus_rows
+from ieps_crawler_ray.sources.synthetic_web import SyntheticWeb, WorldConfig
+
+OUT = "/tmp/ieps_test_crawl"
+
+
+@pytest.fixture(scope="module")
+def world():
+    corpus = build_corpus_rows(60)
+    cfg = WorldConfig(n_domains=5, total_pages=60, n_corpus=60, seed=42,
+                      n_seeds=3)
+    return SyntheticWeb(cfg, corpus)
+
+
+@pytest.fixture(scope="module")
+def oracle(world):
+    return OracleCrawler(world).run()
+
+
+@pytest.fixture(scope="module")
+def engine_out(world, ray_session):
+    shutil.rmtree(OUT, ignore_errors=True)
+    C.run_crawl(world, CrawlConfig(out_dir=OUT, seeds=list(world.seeds)))
+    return OUT
+
+
+def _assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, keys, cols):
+    a = a[keys + cols].sort_values(keys).reset_index(drop=True)
+    b = b[keys + cols].sort_values(keys).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    for c in cols:
+        ea, eb = a[c].values, b[c].values
+        neq = ~((pd.isna(ea) & pd.isna(eb)) | (ea == eb))
+        assert not neq.any(), (c, a[neq].head(3), b[neq].head(3))
+
+
+def test_seen_set_exact(oracle, engine_out):
+    o = set(oracle["seen"].column("url").to_pylist())
+    e = set(C.read_pages(engine_out).to_pandas()["url"])
+    assert o == e
+
+
+def test_pages_exact(oracle, engine_out):
+    _assert_frames_equal(
+        oracle["pages"].to_pandas(), C.read_pages(engine_out).to_pandas(),
+        ["url"], ["domain", "page_type", "http_status", "content_hash",
+                  "seq", "fetch_time", "load_time_ms"])
+
+
+def test_per_domain_order_exact(oracle, engine_out):
+    _assert_frames_equal(
+        oracle["order"].to_pandas(), C.read_order(engine_out).to_pandas(),
+        ["domain", "seq"], ["url", "kind"])
+
+
+def test_images_exact(oracle, engine_out):
+    o = oracle["images"].to_pandas().rename(
+        columns={"filename": "url", "page_url": "parent_url"})
+    e = C.read_images(engine_out).to_pandas()
+    _assert_frames_equal(o, e, ["domain", "seq"],
+                         ["url", "parent_url", "is_duplicate", "downloaded",
+                          "w", "h", "fmt", "caption", "fetch_time",
+                          "con_type"])
+
+
+def test_image_payload_bytes_exact(oracle, engine_out):
+    o = oracle["images"].to_pandas()
+    e = C.read_images(engine_out).to_pandas()
+    o_d = {(r["domain"], r["seq"]): r["data"] for _, r in o.iterrows()
+           if r["downloaded"]}
+    e_d = {(r["domain"], r["seq"]): r["data"] for _, r in e.iterrows()
+           if r["downloaded"]}
+    assert o_d.keys() == e_d.keys()
+    assert all(bytes(o_d[k]) == bytes(e_d[k]) for k in o_d)
+
+
+def test_page_data_exact(oracle, engine_out):
+    o = oracle["page_data"].to_pandas().rename(
+        columns={"filename": "url", "page_url": "parent_url"})
+    e = C.read_page_data(engine_out).to_pandas()
+    _assert_frames_equal(o, e, ["domain", "seq"],
+                         ["url", "parent_url", "data_type", "is_duplicate",
+                          "downloaded", "fetch_time"])
+
+
+def test_links_exact(oracle, engine_out):
+    o = set(map(tuple, oracle["links"].to_pandas().values))
+    e = set(map(tuple, C.read_links(engine_out).to_pandas().values))
+    assert o == e
+
+
+def test_sites_match(oracle, engine_out):
+    o = oracle["sites"].to_pandas().set_index("domain")
+    e = C.read_sites(engine_out).to_pandas().set_index("domain")
+    assert set(o.index) == set(e.index)
+    for d in o.index:
+        assert o.loc[d, "robots_content"] == e.loc[d, "robots_content"] or (
+            pd.isna(o.loc[d, "robots_content"])
+            and pd.isna(e.loc[d, "robots_content"]))
+
+
+def test_resume_identical(world, oracle, ray_session):
+    """Kill after round 1, resume, and the final tables are identical to the
+    uninterrupted run (north_rule resumability)."""
+    out2 = "/tmp/ieps_test_crawl_resume"
+    shutil.rmtree(out2, ignore_errors=True)
+    # phase 1: stop after 2 rounds
+    C.run_crawl(world, CrawlConfig(out_dir=out2, seeds=list(world.seeds),
+                                   max_rounds=2))
+    # phase 2: fresh driver + actors, resume from checkpoint
+    C.run_crawl(world, CrawlConfig(out_dir=out2, seeds=list(world.seeds)),
+                resume=True)
+    e = C.read_pages(out2).to_pandas()
+    _assert_frames_equal(
+        oracle["pages"].to_pandas(), e, ["url"],
+        ["page_type", "http_status", "content_hash", "seq", "fetch_time"])
+    o_links = set(map(tuple, oracle["links"].to_pandas().values))
+    e_links = set(map(tuple, C.read_links(out2).to_pandas().values))
+    assert o_links == e_links
