@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (the Ray-Data-native
+URL-frontier + fetch scheduler over the deterministic synthetic web) after
+loading the sf0.001 testdata; ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 plus the training-data
+extensions; ``oracle_sql()`` gives DuckDB equivalents for the
+SQL-expressible ones (names and column names match exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,52 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: load sf0.001 documents (testdata smoke) then run the full
+    crawl engine at unit scale; returns the pages table."""
+    import ray.data as rd
+
+    from ieps_crawler_ray.pipelines import flagship
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id"])
+    assert docs.count() >= 0
+    return flagship.crawl_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ieps_crawler_ray.pipelines import analytics as A
+    from ieps_crawler_ray.pipelines import flagship as F
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SQL-checked)
+        "tpch_q1_pricing_summary": A.tpch_q1_pricing_summary,
+        "orders_by_nation": A.orders_by_nation,
+        "top_customers_by_spend": A.top_customers_by_spend,
+        "events_type_stats": A.events_type_stats,
+        "events_hourly_activity": A.events_hourly_activity,
+        "events_distinct_users": A.events_distinct_users,
+        "user_sessions": A.user_sessions,
+        # text analysis (SQL-checked)
+        "doc_lang_dist": A.doc_lang_dist,
+        "doc_token_counts": A.doc_token_counts,
+        "doc_quality": A.doc_quality,
+        "doc_exact_dedup": A.doc_exact_dedup,
+        "url_canonicalize": A.url_canonicalize,
+        # similarity search (SQL-checked)
+        "knn_cosine": A.knn_cosine,
+        # dedup / fingerprints / language (rows-only)
+        "minhash_lsh_neardup": A.minhash_lsh_neardup,
+        "embedding_neardup": A.embedding_neardup,
+        "doc_simhash": A.doc_simhash,
+        "doc_fingerprints": A.doc_fingerprints,
+        "doc_lang_id": A.doc_lang_id,
+        # crawl engine + multimodal (rows-only)
+        "crawl_flagship": F.crawl_flagship,
+        "image_decode_stats": F.image_decode_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ieps_crawler_ray.pipelines.analytics import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the flagship crawl (frontier -> seen-dedup -> robots ->
+politeness schedule -> fetch -> parse/extract -> image decode -> parquet
+sinks) over the sf-scaled deterministic synthetic world, plus the analytics
+operator suite over $GRAFT_SF_DIR parquet.
+
+  python bench.py               # one run (RAY_GRAFT_CPUS, default 32)
+  python bench.py --scaling     # fresh processes at 8 and 32 cpus on the
+                                # same input; reports scaling efficiency
+                                # (sandbox stand-in for N vs 4N nodes)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ieps_crawler_ray.config import CrawlConfig
+    from ieps_crawler_ray.pipelines import analytics as A
+    from ieps_crawler_ray.pipelines import crawl as C
+    from ieps_crawler_ray.pipelines.flagship import world_for_sf
+
+    queries: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        res = fn()
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        queries[name] = round(time.time() - t0, 3)
+        return res
+
+    # warm the OS page cache (untimed)
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        with open(os.path.join(sf_dir, f"{t}.parquet"), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    # ---- headline: the crawl ----
+    web = world_for_sf(sf_dir)
+    out = f"/tmp/ieps_bench_crawl_{ncpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    C.run_crawl(web, CrawlConfig(out_dir=out, seeds=list(web.seeds)))
+    crawl_sec = time.time() - t0
+    queries["crawl_flagship"] = round(crawl_sec, 3)
+    from ieps_crawler_ray.pipelines.crawl import _read_manifests
+    man = _read_manifests(out)
+    n_fetched = sum(m.get("fetched", 0) for m in man.values())
+    n_pages = sum(m.get("pages", 0) for m in man.values())
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+    img_rows = 0
+    try:
+        img_rows = pads.dataset(
+            [p for p in C._fetched_paths(out)], format="parquet").count_rows(
+            filter=(pc.field("kind") == 1) & pc.field("downloaded"))
+    except Exception:
+        pass
+    shutil.rmtree(out, ignore_errors=True)
+
+    # ---- analytics suite ----
+    timed("tpch_q1_pricing_summary", lambda: A.tpch_q1_pricing_summary(sf_dir))
+    timed("orders_by_nation", lambda: A.orders_by_nation(sf_dir))
+    timed("top_customers_by_spend", lambda: A.top_customers_by_spend(sf_dir))
+    timed("events_hourly_activity", lambda: A.events_hourly_activity(sf_dir))
+    timed("user_sessions", lambda: A.user_sessions(sf_dir))
+    timed("doc_exact_dedup", lambda: A.doc_exact_dedup(sf_dir))
+    timed("doc_token_counts", lambda: A.doc_token_counts(sf_dir))
+    timed("minhash_lsh_neardup", lambda: A.minhash_lsh_neardup(sf_dir))
+    timed("doc_simhash", lambda: A.doc_simhash(sf_dir))
+    timed("knn_cosine", lambda: A.knn_cosine(sf_dir))
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "total pipeline seconds (crawl flagship + analytics suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpus,
+        "crawl_fetched_rows": n_fetched,
+        "crawl_pages": n_pages,
+        "crawl_image_rows_downloaded": img_rows,
+        "fetched_urls_per_s": round(n_fetched / crawl_sec, 2),
+        "decoded_image_rows_per_s": round(img_rows / crawl_sec, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+    res = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        res[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr_lo = res[lo]["fetched_urls_per_s"]
+    thr_hi = res[hi]["fetched_urls_per_s"]
+    t_lo, t_hi = res[lo]["value"], res[hi]["value"]
+    eff_time = (t_lo / t_hi) / (hi / lo)
+    eff_thr = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (8 vs 32 cpus, same input)",
+        "value": round(eff_time, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "fetched_urls_per_s_8": thr_lo, "fetched_urls_per_s_32": thr_hi,
+        "throughput_scaling_efficiency": round(eff_thr, 3),
+        "queries_8": res[lo]["queries"], "queries_32": res[hi]["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

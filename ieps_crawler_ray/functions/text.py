@@ -1,0 +1,130 @@
+"""Text-analysis kernels for the training-data pipeline operators:
+tokenization, quality scoring, language-ID heuristic, SimHash, MinHash.
+
+All batch-level and vectorized where the computation allows; per-document
+python loops only where the algorithm is inherently per-document (hashing
+of token sets), run inside map_batches tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+# Tiny per-language stopword profiles for the heuristic language ID. The
+# synthetic `documents` table draws from an English-ish vocabulary with a
+# random `lang` label, so this is a *mechanism* demonstration: frequencies
+# of marker words vote for a language.
+_LANG_MARKERS = {
+    "en": {"the", "a", "and", "of", "to", "in"},
+    "es": {"el", "la", "de", "que", "y", "los"},
+    "de": {"der", "die", "und", "das", "ist", "ein"},
+    "fr": {"le", "la", "et", "les", "des", "une"},
+    "zh": set(),  # no-latin-marker fallback
+}
+
+
+def tokens(text: str) -> list:
+    return TOKEN_RE.findall(text)
+
+
+def token_count(text: str) -> int:
+    return len(TOKEN_RE.findall(text))
+
+
+def quality_metrics(text: str) -> dict:
+    toks = TOKEN_RE.findall(text)
+    return {
+        "n_words": len(toks),
+        "n_uniq_words": len(set(toks)),
+        "max_word_len": max((len(t) for t in toks), default=0),
+    }
+
+
+def lang_id(text: str) -> str:
+    toks = set(t.lower() for t in TOKEN_RE.findall(text))
+    best, best_n = "en", -1
+    for lang, markers in _LANG_MARKERS.items():
+        n = len(toks & markers)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8", "surrogatepass"),
+                        digest_size=8).digest(), "big")
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over word features."""
+    toks = TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    bits = np.arange(63, -1, -1, dtype=np.uint64)
+    for t in set(toks):
+        h = np.uint64(_h64(t))
+        b = ((h >> bits) & np.uint64(1)).astype(np.int64)
+        acc += 2 * b - 1
+    code = 0
+    for v in acc:
+        code = (code << 1) | int(v > 0)
+    if code >= 1 << 63:
+        code -= 1 << 64
+    return code
+
+
+def char_shingles(text: str, k: int = 3) -> set:
+    s = text.lower()
+    return {s[i:i + k] for i in range(max(0, len(s) - k + 1))}
+
+
+def word_shingles(text: str, k: int = 3) -> set:
+    toks = TOKEN_RE.findall(text.lower())
+    return {" ".join(toks[i:i + k]) for i in range(max(0, len(toks) - k + 1))}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+_MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_params(num_perm: int = 64, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MINHASH_PRIME, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MINHASH_PRIME, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingles: set, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide MinHash signature (uint64)."""
+    if not shingles:
+        return np.zeros(len(a), dtype=np.uint64)
+    hv = np.array([_h64(s) for s in shingles], dtype=np.uint64)
+    # (a*x + b) mod p, vectorized over shingles x perms via object-free math
+    hv = hv.astype(object)[:, None]
+    vals = (hv * a.astype(object)[None, :] + b.astype(object)[None, :]) \
+        % _MINHASH_PRIME
+    return np.min(np.array(vals, dtype=np.uint64), axis=0)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:
+    """Split the signature into bands; key = (band_idx, hash(band_rows))."""
+    rows = len(sig) // bands
+    out = []
+    for bi in range(bands):
+        chunk = sig[bi * rows:(bi + 1) * rows]
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+        out.append((bi, int.from_bytes(h, "big", signed=True)))
+    return out

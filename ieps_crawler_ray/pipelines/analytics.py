@@ -1,0 +1,541 @@
+"""Analytics + training-data-pipeline operators over the TPC-H-ish testdata
+tables (TESTDATA.md), exposed through ``__ray_entry__.queries()``.
+
+Every operator here is Ray-Data-first: ``read_parquet`` with column pruning,
+vectorized ``map_batches`` (Arrow / numpy / pandas), partial pre-aggregation
+before ``groupby`` shuffles, broadcast small-side joins via ``ray.put``, and
+distributed partial top-k with a tiny driver-side merge. SQL-expressible
+operators have DuckDB oracles in ``oracle_sql()`` (column names match
+exactly — the driver hash-compares values).
+
+Operator-inventory mapping (SURVEY.md §2): aggregations (A2 analog),
+sort/limit (O5), joins (J3/J4 analog), exact dedup (D1/D2),
+near-dup MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine
+(training-data extensions), text analysis (language-ID, quality, token
+counting, fingerprinting), similarity search (brute-force cosine top-k),
+URL canonicalization (M1/M2) and the crawl flagship itself.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import text as T
+from ..functions.canonical import canonicalize, extract_domain
+from ..functions.hashing import content_hash, rolling_fingerprint
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core (groupby / join / sort-limit / windows)
+# ---------------------------------------------------------------------------
+
+def tpch_q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog: partial per-batch pre-aggregation before the
+    groupby shuffle (guide: 'Aggregation at scale')."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("disc_price", disc)
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=128 * 1024)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "count_order"]]
+
+
+def orders_by_nation(sf_dir: str):
+    """customer ⋈ orders ⋈ nation via broadcast small sides (J3 pattern:
+    'broadcast-small-side', no shuffle join)."""
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(_pq(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    cust_to_nation = dict(zip(
+        cust["c_custkey"],
+        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
+                                         nation["n_name"])))))
+    lookup_ref = ray.put(cust_to_nation)
+
+    def add_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        out = pd.DataFrame({
+            "n_name": batch["o_custkey"].map(lookup),
+            "o_totalprice": batch["o_totalprice"]})
+        return out.groupby("n_name", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_price=("o_totalprice", "sum"))
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    out = orders.map_batches(add_nation, batch_format="pandas",
+                             batch_size=128 * 1024) \
+        .groupby("n_name").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price", alias_name="total_price")).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out[["n_name", "n_orders", "total_price"]]
+
+
+def top_customers_by_spend(sf_dir: str):
+    """sort + limit (top-k) with deterministic tie-break."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spend"))
+    top = agg.sort(["total_spend", "o_custkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+    top["total_spend"] = top["total_spend"].round(2)
+    return top[["o_custkey", "total_spend"]]
+
+
+def events_type_stats(sf_dir: str):
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    out = ev.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value")).to_pandas()
+    for c in ("sum_value", "min_value", "max_value"):
+        out[c] = out[c].round(2)
+    return out[["event_type", "n", "sum_value", "min_value", "max_value"]]
+
+
+def events_hourly_activity(sf_dir: str):
+    """tumbling 1-hour window counts (streaming-shaped op as groupby over a
+    computed window key — guide: 'Streaming-shaped workloads')."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def window_key(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3600)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "hour_epoch_s": hour})
+
+    return ev.map_batches(window_key, batch_format="pyarrow") \
+        .groupby(["event_type", "hour_epoch_s"]) \
+        .aggregate(Count(alias_name="n"))
+
+
+def events_distinct_users(sf_dir: str):
+    """count-distinct via two-level groupby (exact)."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    return ev.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="cnt")) \
+        .groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def user_sessions(sf_dir: str):
+    """sessionization: 30-min-gap sessions per user
+    (groupby(key).map_groups over ts-sorted groups)."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        gaps = np.diff(ts) > 1800 * 1_000_000
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_events": [len(ts)],
+                             "n_sessions": [1 + int(gaps.sum())]})
+
+    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+def doc_lang_dist(sf_dir: str):
+    return rd.read_parquet(_pq(sf_dir, "documents"), columns=["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def doc_token_counts(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = [T.token_count(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [T.quality_metrics(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+            "n_uniq_words": pa.array([r["n_uniq_words"] for r in rows],
+                                     pa.int64()),
+            "max_word_len": pa.array([r["max_word_len"] for r in rows],
+                                     pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_exact_dedup(sf_dir: str):
+    """Exact dedup: content-hash then first-wins per group (D1/D2 analog:
+    hash inside map_batches, shuffle only (hash, doc_id))."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def h(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array(
+                [content_hash(t) for t in batch.column("text").to_pylist()],
+                pa.string())})
+
+    return ds.map_batches(h, batch_format="pyarrow") \
+        .groupby("text_hash").aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Count(alias_name="n_copies")) \
+        .select_columns(["doc_id", "n_copies"])
+
+
+def url_canonicalize(sf_dir: str):
+    """M1/M2 over synthesized messy URLs derived from `documents` rows —
+    SQL-checkable canonicalization parity."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        raw = [f"http://WWW.{s.upper()}.Gov.SI/p/{i}"
+               + ("#frag" if i % 3 == 0 else "")
+               for i, s in zip(ids, srcs)]
+        canon = [canonicalize(u) for u in raw]
+        doms = [extract_domain(u) for u in raw]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "canonical_url": pa.array(canon, pa.string()),
+                         "domain": pa.array(doms, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_lang_id(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = [T.lang_id(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang_pred": pa.array(preds, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash document fingerprints (deterministic)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, nfp, minfp = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            fp = rolling_fingerprint(t)
+            ids.append(i)
+            nfp.append(len(fp))
+            minfp.append(int(fp.min()) - (1 << 63))  # signed for arrow
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_fingerprints": pa.array(nfp, pa.int64()),
+                         "min_fingerprint": pa.array(minfp, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_simhash(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(
+                [T.simhash64(t) for t in batch.column("text").to_pylist()],
+                pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
+                        num_perm: int = 64, bands: int = 16):
+    """MinHash + LSH near-dup: shingle→signature→band explode→band-bucket
+    groupby→candidate pairs→exact Jaccard verify (guide pattern)."""
+    a, b = T.minhash_params(num_perm)
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        doc_ids, band_is, band_hs = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            sig = T.minhash_signature(T.word_shingles(t), a, b)
+            for bi, bh in T.lsh_band_keys(sig, bands):
+                doc_ids.append(i)
+                band_is.append(bi)
+                band_hs.append(bh)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "band_i": pa.array(band_is, pa.int32()),
+                         "band_h": pa.array(band_hs, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = ds.map_batches(sigs, batch_format="pyarrow") \
+        .groupby(["band_i", "band_h"]) \
+        .map_groups(pairs, batch_format="pandas")
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+    texts = pd.read_parquet(_pq(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = ray.get(texts_ref)
+        keep = []
+        for _, r in batch.iterrows():
+            ja = T.jaccard(T.word_shingles(txt[r["doc_a"]]),
+                           T.word_shingles(txt[r["doc_b"]]))
+            keep.append(ja >= threshold)
+        return batch[pd.Series(keep, index=batch.index)][["doc_a", "doc_b"]]
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.9, planes: int = 12):
+    """Embedding near-dup via random-hyperplane LSH buckets + in-bucket
+    cosine verify (the 'scale path' variant of similarity search)."""
+    rng = np.random.default_rng(11)
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    first = ds.take(1)
+    dim = len(first[0]["embedding"])
+    R = rng.normal(size=(dim, planes))
+    R_ref = ray.put(R)
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        Rm = ray.get(R_ref)
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        bits = (M @ Rm) > 0
+        keys = bits.dot(1 << np.arange(planes)).astype(np.int64)
+        return pd.DataFrame({"vec_id": batch["vec_id"], "bucket": keys,
+                             "embedding": batch["embedding"]})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        ids = g["vec_id"].to_numpy()
+        out_a, out_b = [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold and ids[i] != ids[j]:
+                    out_a.append(min(ids[i], ids[j]))
+                    out_b.append(max(ids[i], ids[j]))
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+def knn_cosine(sf_dir: str, k: int = 3, n_queries: int = 5):
+    """Brute-force cosine top-k similarity search: broadcast query matrix,
+    per-batch float64 matmul partial top-k, tiny driver-side merge."""
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    qdf = pd.read_parquet(_pq(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < n_queries].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((q_ids, Q))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, Qm = ray.get(q_ref)
+        mask = batch["vec_id"] >= n_queries
+        batch = batch[mask]
+        if not len(batch):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = Qm @ M.T                      # (nq, nbatch)
+        ids = batch["vec_id"].to_numpy()
+        rows = []
+        for r in range(sims.shape[0]):
+            order = np.lexsort((ids, -sims[r]))[:k]
+            for c in order:
+                rows.append((int(qi[r]), int(ids[c]), float(sims[r, c])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    parts = ds.map_batches(partial_topk, batch_format="pandas",
+                           batch_size=64 * 1024).to_pandas()
+    out = []
+    for q, g in parts.groupby("query_id"):
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            out.append((q, rank, int(r["neighbor_id"])))
+    return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id"])
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles (DuckDB; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL = {
+    "tpch_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price,
+               ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_by_nation": """
+        SELECT n_name, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "top_customers_by_spend": """
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+        ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 10
+    """,
+    "events_type_stats": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "events_hourly_activity": """
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT)
+                   AS hour_epoch_s,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "events_distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "user_sessions": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+               1 + SUM(new_sess) AS n_sessions
+        FROM gaps GROUP BY user_id
+    """,
+    "doc_lang_dist": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+    "doc_token_counts": r"""
+        SELECT doc_id, LEN(regexp_extract_all(text, '\w+')) AS n_tokens
+        FROM documents
+    """,
+    "doc_quality": r"""
+        SELECT doc_id,
+               LEN(regexp_extract_all(text, '\w+')) AS n_words,
+               LEN(list_distinct(regexp_extract_all(text, '\w+')))
+                   AS n_uniq_words,
+               COALESCE(list_max(list_transform(
+                   regexp_extract_all(text, '\w+'), x -> LENGTH(x))), 0)
+                   AS max_word_len
+        FROM documents
+    """,
+    "doc_exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "url_canonicalize": """
+        SELECT doc_id,
+               'http://www.' || LOWER(source) || '.gov.si/p/' ||
+                   CAST(doc_id AS VARCHAR) || '/' AS canonical_url,
+               LOWER(source) || '.gov.si' AS domain
+        FROM documents
+    """,
+    "knn_cosine": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS ce
+                   FROM embeddings WHERE vec_id >= 5),
+             scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(qe, ce) AS score
+                FROM q CROSS JOIN c),
+             ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) AS rank
+                FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+    """,
+}
