@@ -20,10 +20,21 @@ class CrawlConfig:
     num_hash_shards: int = 2
     num_registry_shards: int = 2
     # stage sizing
-    fetch_concurrency: tuple = (2, 8)
     fetch_batch_size: int = 512
     parse_batch_size: int = 512
-    schedule_num_partitions: Optional[int] = None  # default: cpus
+    # target rows per block entering the domain shuffle — the unit of fetch
+    # parallelism (each block becomes one fetch task; ~512 rows × ~2.5 ms
+    # of fetch+decode ≈ 1.3 s per task, long enough to amortize task
+    # dispatch, short enough to load-balance across the pool)
+    target_partition_rows: int = 512
+    max_round_partitions: int = 256
+    # number of domain-hash partitions the frontier is written in
+    # (dpart = blake2b(domain) % P). The shuffle happens at WRITE time
+    # (parse writes hive-partitioned parquet); each round then reads one
+    # partition as one block and schedules it locally — no runtime
+    # all-to-all. At cluster scale P grows with the node count; each
+    # partition must fit a block (<= DataContext.target_max_block_size).
+    num_domain_partitions: int = 32
     # budgets
     max_rounds: Optional[int] = None
     max_pages: Optional[int] = None

@@ -11,7 +11,8 @@ Layout under ``cfg.out_dir`` (Parquet stands in for Lance in this env):
   rounds/gen=K/fetched/*.parquet    wide per-round output (pages ∪ images ∪
                                     page_data are projections of this — the
                                     payload is written exactly once)
-  rounds/gen=K/dup_overrides/*.parquet   h1 of content-hash DUPLICATE pages
+  rounds/gen=K/dup_overrides/*.parquet   (domain, seq) of content-hash
+                                         DUPLICATE pages (from end_round)
   state/gen=K/...                   actor snapshots + domain state (resume)
   manifest/gen=K.json               counters + completion marker (lineage)
 
@@ -38,25 +39,27 @@ from ..config import CrawlConfig
 from ..functions.canonical import canonicalize, extract_domain
 from ..functions.hashing import url_hash128_many
 from ..state.actors import make_actor_pools, shard_of_str
-from ..stages.crawl_stages import (FetchStage, candidate_rows_for_urls,
-                                   make_dup_query_fn, make_parse_fn,
-                                   make_schedule_fn, make_seen_robots_fn)
+from ..stages.crawl_stages import (candidate_rows_for_urls, make_fetch_fn,
+                                   make_parse_fn, make_schedule_fn,
+                                   make_seen_robots_fn)
 from .. import schema as S
 
 
 def _clean_empty_parquet(path: str) -> None:
     """Drop zero-row part files (Ray writes metadata-only parquet for empty
-    datasets, which poisons later schema-unified reads of the directory)."""
+    datasets, which poisons later schema-unified reads of the directory).
+    Recurses into hive-partition subdirectories."""
     if not os.path.isdir(path):
         return
-    for fn in os.listdir(path):
-        fp = os.path.join(path, fn)
-        if fn.endswith(".parquet"):
-            try:
-                if pq.read_metadata(fp).num_rows == 0:
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            fp = os.path.join(root, fn)
+            if fn.endswith(".parquet"):
+                try:
+                    if pq.read_metadata(fp).num_rows == 0:
+                        os.remove(fp)
+                except Exception:
                     os.remove(fp)
-            except Exception:
-                os.remove(fp)
 
 
 def _num_rows(path: str) -> int:
@@ -72,6 +75,20 @@ def _write_manifest(out_dir: str, gen: int, payload: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(dict(payload, complete=True), f)
     os.replace(tmp, os.path.join(mdir, f"gen={gen}.json"))
+
+
+def _write_roots_partitioned(gdir: str, infos: list, n_parts: int) -> None:
+    """Driver helper: write root/sitemap candidate rows into the gen dir's
+    dpart=J hive layout (same partitioning the parse stage writes)."""
+    from ..state.actors import shard_of_str as _sos
+    by_part: dict = {}
+    for info in infos:
+        by_part.setdefault(_sos(info["domain"], n_parts), []).append(info)
+    for part, part_infos in by_part.items():
+        pdir = os.path.join(gdir, f"dpart={part}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(candidate_rows_for_urls(part_infos),
+                       os.path.join(pdir, "roots.parquet"))
 
 
 def _read_manifests(out_dir: str) -> dict:
@@ -197,9 +214,7 @@ class CrawlDriver:
                 infos.append({"url": cu, "domain": dom, "p_dom": "",
                               "p_seq": i, "cls": 0, "pos": j})
         gdir = os.path.join(cfg.out_dir, "frontier", "gen=0")
-        os.makedirs(gdir, exist_ok=True)
-        pq.write_table(candidate_rows_for_urls(infos),
-                       os.path.join(gdir, "roots.parquet"))
+        _write_roots_partitioned(gdir, infos, cfg.num_domain_partitions)
 
     # ---------------- one round ----------------
 
@@ -214,45 +229,78 @@ class CrawlDriver:
                                                "next_candidates": 0})
             return 0
 
-        cand = rd.read_parquet(fdir)
-        state_ref = ray.put(self.domain_state)
-        gated = cand.map_batches(make_seen_robots_fn(self.handles),
-                                 batch_format="pyarrow", batch_size=8192)
-        sched = gated.groupby("domain").map_groups(
-            make_schedule_fn(state_ref, cfg.seeds), batch_format="pandas")
-        sched = sched.materialize()
-
-        # per-domain state update (every row of a group carries the final
-        # clock/seq — max() per domain is exact)
-        agg = sched.groupby("domain").max(["clock_after", "next_seq_after"]) \
-            .to_pandas()
-        for _, row in agg.iterrows():
-            d = row["domain"]
-            old = self.domain_state.get(
-                d, (0, 0, any(d in s for s in cfg.seeds)))
-            self.domain_state[d] = (int(row["max(clock_after)"]),
-                                    int(row["max(next_seq_after)"]), old[2])
-
+        # ONE streaming execution, NO runtime shuffle: the frontier is
+        # already hive-partitioned on dpart = hash(domain) (written that
+        # way by the previous round's parse), so each partition reads as
+        # one block whose domains are complete — gate, schedule and fetch
+        # are all narrow per-block transforms straight into the sink.
         fetched_dir = os.path.join(rdir, "fetched")
         shutil.rmtree(fetched_dir, ignore_errors=True)
+        state_ref = ray.put(self.domain_state)
+        part_dirs = []
+        for pd_name in sorted(os.listdir(fdir)):
+            pdir = os.path.join(fdir, pd_name)
+            if os.path.isdir(pdir) and any(
+                    f.endswith(".parquet") for f in os.listdir(pdir)):
+                part_dirs.append(pdir)
+
+        def read_part(batch: dict):
+            for pdir in batch["pdir"]:
+                yield pads.dataset(pdir, format="parquet").to_table()
+
+        # one fused operator chain, one task per domain-hash partition:
+        # read own partition -> gate -> schedule -> fetch -> sink
+        cand = rd.from_items(
+            [{"pdir": p} for p in part_dirs],
+            override_num_blocks=len(part_dirs)) \
+            .map_batches(read_part, batch_format="numpy", batch_size=None)
+        gated = cand.map_batches(make_seen_robots_fn(self.handles),
+                                 batch_format="pyarrow", batch_size=None)
+        sched = gated.map_batches(
+            make_schedule_fn(state_ref, cfg.seeds),
+            batch_format="pandas", batch_size=None)
         fetched = sched.map_batches(
-            FetchStage, fn_constructor_args=(self.web_ref, self.handles, gen),
+            make_fetch_fn(self.web_ref, self.handles, gen),
             batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency, num_cpus=1)
+            num_cpus=1)
         fetched.write_parquet(fetched_dir)
         _clean_empty_parquet(fetched_dir)
 
-        # content-hash winner labels (barrier reached: fetch fully consumed)
+        # ONE narrow metadata read of the round output feeds the per-domain
+        # state update (every row of a domain carries the final clock/seq
+        # — max() per domain is exact) and the round counters; becomes a
+        # small Dataset groupby at cluster scale.
+        meta = pads.dataset(fetched_dir, format="parquet").to_table(
+            columns=["domain", "clock_after", "next_seq_after", "kind",
+                     "allowed", "stores_page"])
+        n_fetched = meta.num_rows
+        n_pages = len(meta.filter(
+            (pc.field("kind") == 0) |
+            (~pc.field("allowed") & pc.field("stores_page"))))
+        if n_fetched:
+            agg = meta.select(["domain", "clock_after", "next_seq_after"]) \
+                .group_by("domain").aggregate(
+                    [("clock_after", "max"), ("next_seq_after", "max")])
+            for d, c, s in zip(agg.column("domain").to_pylist(),
+                               agg.column("clock_after_max").to_pylist(),
+                               agg.column("next_seq_after_max").to_pylist()):
+                old = self.domain_state.get(
+                    d, (0, 0, any(d in s2 for s2 in cfg.seeds)))
+                self.domain_state[d] = (int(c), int(s), old[2])
+
+        # content-hash DUPLICATE labels: resolved by the hash-winner shards
+        # at end_round (one RPC per shard; they saw every observation)
         ov_dir = os.path.join(rdir, "dup_overrides")
         shutil.rmtree(ov_dir, ignore_errors=True)
-        ov = rd.read_parquet(
-            fetched_dir,
-            columns=["h1", "content_hash", "domain", "seq", "page_type"]) \
-            .map_batches(make_dup_query_fn(self.handles),
-                         batch_format="pyarrow", batch_size=8192)
-        ov.write_parquet(ov_dir)
-        _clean_empty_parquet(ov_dir)
-        ray.get([a.end_round.remote() for a in self.handles["hash"]])
+        os.makedirs(ov_dir, exist_ok=True)
+        dup_pairs = [p for dups in
+                     ray.get([a.end_round.remote()
+                              for a in self.handles["hash"]])
+                     for p in dups]
+        pq.write_table(pa.table({
+            "domain": pa.array([d for d, _ in dup_pairs], pa.string()),
+            "seq": pa.array([s for _, s in dup_pairs], pa.int64()),
+        }), os.path.join(ov_dir, "dups.parquet"))
 
         # parse + explode next-generation candidates
         next_dir = os.path.join(cfg.out_dir, "frontier", f"gen={gen + 1}")
@@ -265,19 +313,23 @@ class CrawlDriver:
                     & (pc.field("page_type") == "HTML")
                     & (pc.field("http_status") >= 200)
                     & (pc.field("http_status") < 400)))
-        parsed = ok.map_batches(make_parse_fn(cfg.scope),
-                                batch_format="pyarrow",
-                                batch_size=cfg.parse_batch_size)
-        parsed.write_parquet(next_dir)
+        parsed = ok.map_batches(
+            make_parse_fn(cfg.scope, cfg.num_domain_partitions),
+            batch_format="pyarrow", batch_size=cfg.parse_batch_size)
+        parsed.write_parquet(next_dir, partition_cols=["dpart"])
         _clean_empty_parquet(next_dir)
 
-        # new-domain discovery -> root enqueue + state entry
-        doms = set()
-        if _num_rows(next_dir) > 0:
-            scanner = pads.dataset(next_dir, format="parquet") \
-                .scanner(columns=["domain"])
-            for b in scanner.to_batches():
-                doms.update(pc.unique(b.column("domain")).to_pylist())
+        # new-domain discovery -> root enqueue + state entry (one narrow
+        # column read of the freshly written next generation)
+        has_next = any(f.endswith(".parquet")
+                       for _r, _d, fs in os.walk(next_dir) for f in fs)
+        if has_next:
+            next_doms = pads.dataset(next_dir, format="parquet").to_table(
+                columns=["domain"]).column("domain")
+            n_next = len(next_doms)
+            doms = set(pc.unique(next_doms).to_pylist())
+        else:
+            n_next, doms = 0, set()
         new_doms = sorted(d for d in doms if d not in self.domain_state)
         if new_doms:
             infos = []
@@ -286,15 +338,11 @@ class CrawlDriver:
                                         any(d in s for s in cfg.seeds))
                 infos.append({"url": canonicalize(d), "domain": d,
                               "p_dom": "", "p_seq": -1, "cls": -1, "pos": 0})
-            pq.write_table(candidate_rows_for_urls(infos),
-                           os.path.join(next_dir, "roots.parquet"))
+            _write_roots_partitioned(next_dir, infos,
+                                     cfg.num_domain_partitions)
+            n_next += len(infos)
 
-        n_fetched = _num_rows(fetched_dir)
-        n_pages = pads.dataset(fetched_dir, format="parquet").count_rows(
-            filter=(pc.field("kind") == 0) |
-                   (~pc.field("allowed") & pc.field("stores_page")))
         self.pages_total += n_pages
-        n_next = _num_rows(next_dir)
         self._snapshot(gen)
         _write_manifest(cfg.out_dir, gen, {
             "candidates": n_cand, "fetched": n_fetched, "pages": n_pages,
@@ -349,7 +397,8 @@ def _fetched_paths(out_dir: str) -> list:
     return out
 
 
-def _dup_h1_set(out_dir: str) -> set:
+def _dup_pair_set(out_dir: str) -> set:
+    """(domain, seq) pairs of content-hash DUPLICATE pages, all rounds."""
     rdir = os.path.join(out_dir, "rounds")
     dup: set = set()
     if os.path.isdir(rdir):
@@ -357,26 +406,28 @@ def _dup_h1_set(out_dir: str) -> set:
             p = os.path.join(rdir, g, "dup_overrides")
             if os.path.isdir(p) and os.listdir(p):
                 t = pads.dataset(p, format="parquet").to_table()
-                dup.update(t.column("h1").to_pylist())
+                dup.update(zip(t.column("domain").to_pylist(),
+                               t.column("seq").to_pylist()))
     return dup
 
 
 def read_pages(out_dir: str) -> rd.Dataset:
     """Final pages table: kind-0 rows plus stored DISALLOWED image/data
     rows, with content-hash DUPLICATE labels overlaid (broadcast set — at
-    cluster scale this becomes a hash join on h1)."""
+    cluster scale this becomes a hash join on (domain, seq))."""
     paths = _fetched_paths(out_dir)
-    dup_ref = ray.put(_dup_h1_set(out_dir))
+    dup_ref = ray.put(_dup_pair_set(out_dir))
     ds = rd.read_parquet(
         paths, filter=((pc.field("kind") == 0) |
                        (~pc.field("allowed") & pc.field("stores_page"))))
 
     def overlay(batch: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)
-        h1 = batch.column("h1").to_pylist()
+        doms = batch.column("domain").to_pylist()
+        seqs = batch.column("seq").to_pylist()
         pt = batch.column("page_type").to_pylist()
-        new_pt = ["DUPLICATE" if h in dup and p == "HTML" else p
-                  for h, p in zip(h1, pt)]
+        new_pt = ["DUPLICATE" if (d, s) in dup and p == "HTML" else p
+                  for d, s, p in zip(doms, seqs, pt)]
         i = batch.schema.get_field_index("page_type")
         return batch.set_column(i, "page_type", pa.array(new_pt, pa.string()))
 
@@ -404,9 +455,9 @@ def read_links(out_dir: str) -> rd.Dataset:
     """Distinct link edges: extraction pairs (kind-0 frontier candidates)
     plus disallowed image/data parent edges, filtered to stored pages."""
     fr = os.path.join(out_dir, "frontier")
-    gens = [os.path.join(fr, g, f) for g in sorted(os.listdir(fr))
-            for f in sorted(os.listdir(os.path.join(fr, g)))
-            if f.endswith(".parquet")]
+    gens = sorted(os.path.join(root, f)
+                  for root, _d, files in os.walk(fr)
+                  for f in files if f.endswith(".parquet"))
     cand = rd.read_parquet(
         gens, columns=["parent_url", "url"],
         filter=((pc.field("kind") == 0) & pc.field("parent_url").is_valid()))

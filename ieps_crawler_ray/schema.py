@@ -37,6 +37,10 @@ FETCHED_SCHEMA = pa.schema([
     ("download", pa.bool_()),
     ("stores_page", pa.bool_()),
     ("round", pa.int32()),
+    # per-domain carried state after this round's schedule (every row of a
+    # domain carries the domain's final values; max() per domain is exact)
+    ("clock_after", pa.int64()),
+    ("next_seq_after", pa.int64()),
     # page fields (kind 0 / disallowed)
     ("page_type", pa.string()),
     ("http_status", pa.int32()),

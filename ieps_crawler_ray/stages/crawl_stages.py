@@ -2,16 +2,20 @@
 
 Dataflow per BFS round (pipelines/crawl.py drives it):
 
-  frontier candidates (Arrow)
+  frontier candidates (Arrow)                 ONE streaming execution:
     -> map_batches(seen_robots_fn)            stateless tasks; batched actor
                                               RPCs: seen.contains + robots gate
     -> groupby('domain').map_groups(schedule) THE domain-hash shuffle; per-
                                               domain FIFO + politeness clock
-    -> map_batches(FetchStage, concurrency=N) actor pool: fetch + classify +
+    -> map_batches(make_fetch_fn(...))        stateless tasks (per-worker web
+                                              cache): fetch + classify +
                                               decode + state registration
     -> write_parquet(rounds/gen=k/fetched)
+  then a second, pruned-read execution:
     -> map_batches(parse_fn) over fetch-ok    stateless; emits next-round
-       rows (pruned read-back)                candidates (exploded Arrow)
+       rows                                   candidates (exploded Arrow)
+  DUPLICATE labels come back from the hash-winner actors at end_round —
+  no extra per-row pass.
 
 All stages are Arrow-native except the schedule group fn (pandas in, the
 per-group python loop IS the semantics — bounded by the per-round per-domain
@@ -103,43 +107,69 @@ def make_seen_robots_fn(handles: dict):
 # ---------------------------------------------------------------------------
 
 def make_schedule_fn(state_ref, seeds: list):
-    """state_ref: ray.put dict {domain: (clock_ms, next_seq, download)}."""
+    """Per-batch scheduler. A batch is one domain-hash frontier partition
+    (written with ``partition_cols=['dpart']`` by the previous round), so
+    every domain's rows arrive complete in one batch — the groupby happens
+    here, locally, with NO runtime shuffle. state_ref: ray.put dict
+    {domain: (clock_ms, next_seq, download)}."""
 
     def fn(df):
         import pandas as pd
         state = ray.get(state_ref)
-        dom = df["domain"].iloc[0]
-        clock, nseq, download = state.get(
-            dom, (0, 0, any(dom in s for s in seeds)))
-        rows = df.to_dict("records")
-        sched, clock, nseq = schedule_domain_rows(rows, clock, nseq, download)
-        if not sched:
+        outs = []
+        for dom, g in df.groupby("domain", sort=True):
+            clock, nseq, download = state.get(
+                dom, (0, 0, any(dom in s for s in seeds)))
+            sched, clock, nseq = schedule_domain_rows(
+                g.to_dict("records"), clock, nseq, download)
+            if not sched:
+                continue
+            out = pd.DataFrame(sched)
+            out["download"] = download
+            out["clock_after"] = clock
+            out["next_seq_after"] = nseq
+            outs.append(out)
+        if not outs:
             return pd.DataFrame({c: pd.Series(dtype=df[c].dtype)
                                  for c in df.columns})
-        out = pd.DataFrame(sched)
-        out["download"] = download
-        out["clock_after"] = clock
-        out["next_seq_after"] = nseq
-        return out
+        return pd.concat(outs, ignore_index=True)
 
     return fn
 
 
 # ---------------------------------------------------------------------------
-# stage 3: fetch + classify + decode + state registration  (actor pool)
+# stage 3: fetch + classify + decode + state registration
 # ---------------------------------------------------------------------------
 
 _IMG_ID = re.compile(r"img(\d{8})")
 
+# Per-worker-process cache of the resolved web client (ST5 analog —
+# HeadlessBrowser.scala:27-31 one WebClient per worker). Ray worker
+# processes persist across tasks AND across per-round executions, so a
+# stateless-task fetch stage with a module-level cache costs the client
+# setup once per worker per job — without paying a fresh actor-pool
+# spin-up every BFS round the way map_batches(Cls) would.
+_WEB_CACHE: dict = {}
+
+
+def _resolve_web(web_ref):
+    if not isinstance(web_ref, ray.ObjectRef):
+        return web_ref
+    key = web_ref.hex()
+    if key not in _WEB_CACHE:
+        _WEB_CACHE.clear()   # one web per job; drop stale entries
+        _WEB_CACHE[key] = ray.get(web_ref)
+    return _WEB_CACHE[key]
+
 
 class FetchStage:
-    """One actor of the fetch pool. __init__ once per actor: resolve the
-    (simulated) web client and state-actor handles
-    (ST5 analog — HeadlessBrowser.scala:27-31 one WebClient per worker)."""
+    """Fetch + classify + decode + state registration for one batch.
+    Instantiated per task closure (cheap: the web client is resolved
+    through the per-worker ``_WEB_CACHE``); state lives in the sharded
+    actors reached via batched RPC fan-out."""
 
     def __init__(self, web_ref, handles: dict, round_no: int):
-        self.web = (ray.get(web_ref) if isinstance(web_ref, ray.ObjectRef)
-                    else web_ref)
+        self.web = _resolve_web(web_ref)
         self.handles = handles
         self.round_no = round_no
 
@@ -218,7 +248,8 @@ class FetchStage:
             o = {k: r.get(k) for k in
                  ("url", "h1", "h2", "domain", "kind", "parent_url", "seq",
                   "fetch_time", "allowed", "delay_ms", "download",
-                  "stores_page", "con_type")}
+                  "stores_page", "con_type", "clock_after",
+                  "next_seq_after")}
             o["round"] = self.round_no
             o.update({"page_type": None, "http_status": None, "html": None,
                       "content_hash": None, "load_time_ms": None,
@@ -293,34 +324,13 @@ class FetchStage:
         return pa.Table.from_pylist(out, schema=S.FETCHED_SCHEMA)
 
 
-# ---------------------------------------------------------------------------
-# stage 4: duplicate-label query (after the fetch barrier)
-# ---------------------------------------------------------------------------
-
-def make_dup_query_fn(handles: dict):
-    actors = handles["hash"]
-    n = len(actors)
+def make_fetch_fn(web_ref, handles: dict, round_no: int):
+    """Stateless-task fetch stage (see ``_WEB_CACHE``): one FetchStage per
+    batch, construction amortized to a dict lookup after the first batch
+    on each worker."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ptypes = batch.column("page_type").to_pylist()
-        chashes = batch.column("content_hash").to_pylist()
-        domains = batch.column("domain").to_pylist()
-        seqs = batch.column("seq").to_pylist()
-        h1s = batch.column("h1").to_numpy()
-        idx_all = np.array([i for i, (pt, ch) in enumerate(zip(ptypes, chashes))
-                            if pt == PT_HTML and ch is not None], dtype=np.int64)
-        dup = np.zeros(batch.num_rows, dtype=bool)
-        if idx_all.size:
-            hashes = [chashes[i] for i in idx_all]
-            shards = np.array([shard_of_str(h, n) for h in hashes])
-            parts = _fanout_by_shard(shards, n)
-            refs = [actors[s].is_duplicate.remote(
-                [hashes[i] for i in idx],
-                [domains[idx_all[i]] for i in idx],
-                [seqs[idx_all[i]] for i in idx]) for s, idx in parts]
-            for (s, idx), res in zip(parts, ray.get(refs)):
-                dup[idx_all[idx]] = res
-        return pa.table({"h1": pa.array(h1s[dup], pa.int64())})
+        return FetchStage(web_ref, handles, round_no)(batch)
 
     return fn
 
@@ -329,7 +339,12 @@ def make_dup_query_fn(handles: dict):
 # stage 5: parse + explode next-round candidates
 # ---------------------------------------------------------------------------
 
-def make_parse_fn(scope: str):
+def make_parse_fn(scope: str, n_parts: int = 0):
+    """Parse + explode next-round candidates. When ``n_parts`` > 0 a
+    ``dpart = blake2b(domain) % n_parts`` column is appended — the write
+    side then hive-partitions on it, which IS the engine's domain shuffle
+    (explicit hash partitioning, materialized once, reused next round)."""
+
     def fn(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         domains = batch.column("domain").to_pylist()
@@ -367,7 +382,7 @@ def make_parse_fn(scope: str):
                 emit(lu, tdom, KIND_HTML, u, dom, seq, 2, i)
 
         h1, h2 = url_hash128_many(out_url)
-        return pa.table({
+        t = pa.table({
             "url": pa.array(out_url, pa.string()),
             "h1": pa.array(h1), "h2": pa.array(h2),
             "domain": pa.array(out_dom, pa.string()),
@@ -380,6 +395,10 @@ def make_parse_fn(scope: str):
             "con_type": pa.array(out_ct, pa.string()),
             "alt": pa.array(out_alt, pa.string()),
         }, schema=S.FRONTIER_SCHEMA)
+        if n_parts:
+            t = t.append_column("dpart", pa.array(
+                [shard_of_str(d, n_parts) for d in out_dom], pa.int32()))
+        return t
 
     return fn
 

@@ -113,14 +113,21 @@ class RobotsShardActor:
 class HashWinnerActor:
     """Content-hash dedup with the deterministic winner rule: within a
     round the (domain, seq)-minimal fetcher wins; hashes from earlier
-    rounds always win (matches the oracle's sequential store order)."""
+    rounds always win (matches the oracle's sequential store order).
+
+    The actor resolves the round's DUPLICATE labels itself at
+    ``end_round`` (it has seen every observation), so the driver needs no
+    second per-row query pass over the fetched output — one RPC per shard
+    per round returns the loser ``(domain, seq)`` pairs."""
 
     def __init__(self, shard_id: int):
         self.prior: set = set()
         self.round_min: dict = {}
+        self.round_obs: list = []   # (hash, domain, seq) seen this round
 
     def observe(self, hashes: list, domains: list, seqs: list) -> None:
         for h, d, s in zip(hashes, domains, seqs):
+            self.round_obs.append((h, d, s))
             if h in self.prior:
                 continue
             key = (d, s)
@@ -128,19 +135,16 @@ class HashWinnerActor:
             if cur is None or key < cur:
                 self.round_min[h] = key
 
-    def is_duplicate(self, hashes: list, domains: list, seqs: list) -> np.ndarray:
-        out = np.empty(len(hashes), dtype=bool)
-        for i, (h, d, s) in enumerate(zip(hashes, domains, seqs)):
-            if h in self.prior:
-                out[i] = True
-            else:
-                out[i] = self.round_min.get(h) != (d, s)
-        return out
-
-    def end_round(self) -> int:
+    def end_round(self) -> list:
+        """Close the round; returns the (domain, seq) pairs of this
+        round's DUPLICATE pages (observation whose hash was already prior,
+        or lost the within-round winner race)."""
+        dups = [(d, s) for h, d, s in self.round_obs
+                if h in self.prior or self.round_min.get(h) != (d, s)]
         self.prior.update(self.round_min)
         self.round_min = {}
-        return len(self.prior)
+        self.round_obs = []
+        return dups
 
     def snapshot(self) -> list:
         return sorted(self.prior)
@@ -148,6 +152,7 @@ class HashWinnerActor:
     def restore(self, prior: list) -> None:
         self.prior = set(prior)
         self.round_min = {}
+        self.round_obs = []
 
 
 @ray.remote(num_cpus=0.1)
