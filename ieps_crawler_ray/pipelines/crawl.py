@@ -40,8 +40,7 @@ from ..functions.canonical import canonicalize, extract_domain
 from ..functions.hashing import url_hash128_many
 from ..state.actors import make_actor_pools, shard_of_str
 from ..stages.crawl_stages import (candidate_rows_for_urls, make_fetch_fn,
-                                   make_parse_fn, make_schedule_fn,
-                                   make_seen_robots_fn)
+                                   make_schedule_fn, make_seen_robots_fn)
 from .. import schema as S
 
 
@@ -236,6 +235,9 @@ class CrawlDriver:
         # are all narrow per-block transforms straight into the sink.
         fetched_dir = os.path.join(rdir, "fetched")
         shutil.rmtree(fetched_dir, ignore_errors=True)
+        next_dir = os.path.join(cfg.out_dir, "frontier", f"gen={gen + 1}")
+        shutil.rmtree(next_dir, ignore_errors=True)
+        os.makedirs(next_dir, exist_ok=True)
         state_ref = ray.put(self.domain_state)
         part_dirs = []
         for pd_name in sorted(os.listdir(fdir)):
@@ -244,23 +246,35 @@ class CrawlDriver:
                     f.endswith(".parquet") for f in os.listdir(pdir)):
                 part_dirs.append(pdir)
 
-        def read_part(batch: dict):
-            for pdir in batch["pdir"]:
-                yield pads.dataset(pdir, format="parquet").to_table()
+        # two operators, one upstream task per domain-hash partition:
+        #   [read own partition + gate + schedule]   one UDF, num_cpus=0.75
+        #   [fetch -> sink]                          num_cpus=1 (unfused)
+        # Gate and schedule are plain function calls INSIDE the read UDF so
+        # every domain is processed complete regardless of block slicing;
+        # the schedule result is yielded in fixed-size chunks and the small
+        # target_max_block_size (set in run()) keeps those chunks separate
+        # blocks, so the unfused fetch operator load-balances a hot
+        # domain's work across the pool instead of on one straggler task.
+        gate_fn = make_seen_robots_fn(self.handles)
+        sched_fn = make_schedule_fn(state_ref, cfg.seeds,
+                                    cfg.fetch_chunk_rows)
 
-        # one fused operator chain, one task per domain-hash partition:
-        # read own partition -> gate -> schedule -> fetch -> sink
-        cand = rd.from_items(
+        def read_gate_schedule(batch: dict):
+            for pdir in batch["pdir"]:
+                t = pads.dataset(pdir, format="parquet").to_table()
+                if t.num_rows == 0:
+                    continue
+                yield from sched_fn(gate_fn(t).to_pandas())
+
+        sched = rd.from_items(
             [{"pdir": p} for p in part_dirs],
             override_num_blocks=len(part_dirs)) \
-            .map_batches(read_part, batch_format="numpy", batch_size=None)
-        gated = cand.map_batches(make_seen_robots_fn(self.handles),
-                                 batch_format="pyarrow", batch_size=None)
-        sched = gated.map_batches(
-            make_schedule_fn(state_ref, cfg.seeds),
-            batch_format="pandas", batch_size=None)
+            .map_batches(read_gate_schedule, batch_format="numpy",
+                         batch_size=None, num_cpus=0.75)
         fetched = sched.map_batches(
-            make_fetch_fn(self.web_ref, self.handles, gen),
+            make_fetch_fn(self.web_ref, self.handles, gen,
+                          cand_sink=(next_dir, cfg.scope,
+                                     cfg.num_domain_partitions)),
             batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
             num_cpus=1)
         fetched.write_parquet(fetched_dir)
@@ -270,13 +284,16 @@ class CrawlDriver:
         # state update (every row of a domain carries the final clock/seq
         # — max() per domain is exact) and the round counters; becomes a
         # small Dataset groupby at cluster scale.
+        has_fetched = os.path.isdir(fetched_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(fetched_dir))
         meta = pads.dataset(fetched_dir, format="parquet").to_table(
             columns=["domain", "clock_after", "next_seq_after", "kind",
-                     "allowed", "stores_page"])
-        n_fetched = meta.num_rows
+                     "allowed", "stores_page"]) if has_fetched else None
+        n_fetched = meta.num_rows if meta is not None else 0
         n_pages = len(meta.filter(
             (pc.field("kind") == 0) |
-            (~pc.field("allowed") & pc.field("stores_page"))))
+            (~pc.field("allowed") & pc.field("stores_page")))) \
+            if meta is not None else 0
         if n_fetched:
             agg = meta.select(["domain", "clock_after", "next_seq_after"]) \
                 .group_by("domain").aggregate(
@@ -301,23 +318,6 @@ class CrawlDriver:
             "domain": pa.array([d for d, _ in dup_pairs], pa.string()),
             "seq": pa.array([s for _, s in dup_pairs], pa.int64()),
         }), os.path.join(ov_dir, "dups.parquet"))
-
-        # parse + explode next-generation candidates
-        next_dir = os.path.join(cfg.out_dir, "frontier", f"gen={gen + 1}")
-        shutil.rmtree(next_dir, ignore_errors=True)
-        os.makedirs(next_dir, exist_ok=True)
-        ok = rd.read_parquet(
-            fetched_dir,
-            columns=["url", "domain", "kind", "seq", "html"],
-            filter=((pc.field("kind") == 0) & pc.field("allowed")
-                    & (pc.field("page_type") == "HTML")
-                    & (pc.field("http_status") >= 200)
-                    & (pc.field("http_status") < 400)))
-        parsed = ok.map_batches(
-            make_parse_fn(cfg.scope, cfg.num_domain_partitions),
-            batch_format="pyarrow", batch_size=cfg.parse_batch_size)
-        parsed.write_parquet(next_dir, partition_cols=["dpart"])
-        _clean_empty_parquet(next_dir)
 
         # new-domain discovery -> root enqueue + state entry (one narrow
         # column read of the freshly written next generation)
@@ -353,6 +353,18 @@ class CrawlDriver:
     # ---------------- main loop ----------------
 
     def run(self, resume: bool = True) -> dict:
+        cfg = self.cfg
+        ctx = rd.DataContext.get_current()
+        saved_block_size = ctx.target_max_block_size
+        # small blocks so scheduled chunks become separate fetch tasks
+        # (skew control; see _run_round)
+        ctx.target_max_block_size = cfg.target_block_bytes
+        try:
+            return self._run_loop(resume)
+        finally:
+            ctx.target_max_block_size = saved_block_size
+
+    def _run_loop(self, resume: bool) -> dict:
         cfg = self.cfg
         manifests = _read_manifests(cfg.out_dir) if resume else {}
         if manifests:

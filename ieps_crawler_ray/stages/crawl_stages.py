@@ -106,12 +106,18 @@ def make_seen_robots_fn(handles: dict):
 # stage 2: per-domain schedule (inside groupby('domain').map_groups)
 # ---------------------------------------------------------------------------
 
-def make_schedule_fn(state_ref, seeds: list):
+def make_schedule_fn(state_ref, seeds: list, chunk_rows: int = 0):
     """Per-batch scheduler. A batch is one domain-hash frontier partition
     (written with ``partition_cols=['dpart']`` by the previous round), so
     every domain's rows arrive complete in one batch — the groupby happens
     here, locally, with NO runtime shuffle. state_ref: ray.put dict
-    {domain: (clock_ms, next_seq, download)}."""
+    {domain: (clock_ms, next_seq, download)}.
+
+    With ``chunk_rows`` > 0 the scheduled rows are YIELDED in chunks: the
+    downstream (unfused) fetch operator then gets several small blocks per
+    hot-domain partition instead of one huge one — this is the skew
+    control. Chunking is safe post-schedule: seq and the politeness clock
+    are already assigned, so fetch order is free."""
 
     def fn(df):
         import pandas as pd
@@ -130,9 +136,11 @@ def make_schedule_fn(state_ref, seeds: list):
             out["next_seq_after"] = nseq
             outs.append(out)
         if not outs:
-            return pd.DataFrame({c: pd.Series(dtype=df[c].dtype)
-                                 for c in df.columns})
-        return pd.concat(outs, ignore_index=True)
+            return  # nothing schedulable in this partition
+        full = pd.concat(outs, ignore_index=True)
+        step = chunk_rows if chunk_rows > 0 else len(full) or 1
+        for lo in range(0, len(full), step):
+            yield full.iloc[lo:lo + step]
 
     return fn
 
@@ -168,10 +176,16 @@ class FetchStage:
     through the per-worker ``_WEB_CACHE``); state lives in the sharded
     actors reached via batched RPC fan-out."""
 
-    def __init__(self, web_ref, handles: dict, round_no: int):
+    def __init__(self, web_ref, handles: dict, round_no: int,
+                 cand_sink=None):
         self.web = _resolve_web(web_ref)
         self.handles = handles
         self.round_no = round_no
+        # (next_dir, scope, n_parts) — when set, OK-HTML rows are parsed
+        # in-task (the html is already in memory) and the next-generation
+        # candidates are side-written hive-partitioned on dpart, fusing
+        # the parse stage into the fetch execution
+        self.cand_sink = cand_sink
 
     # -- helpers ----------------------------------------------------------
 
@@ -321,16 +335,57 @@ class FetchStage:
 
         if obs_h:
             self._hash_observe(obs_h, obs_d, obs_s)
-        return pa.Table.from_pylist(out, schema=S.FETCHED_SCHEMA)
+        result = pa.Table.from_pylist(out, schema=S.FETCHED_SCHEMA)
+        if self.cand_sink is not None:
+            self._write_candidates(out)
+        return result
+
+    def _write_candidates(self, out_rows: list) -> None:
+        """Fused parse: extract next-round candidates from this batch's
+        OK-HTML rows and write them straight into the next generation's
+        dpart=J hive layout. File names are deterministic in the batch's
+        (domain, seq) content, so a task retry overwrites its own output
+        (idempotent, exactly-once per partition)."""
+        import hashlib
+        import os
+
+        import pyarrow.parquet as _pq
+
+        next_dir, scope, n_parts = self.cand_sink
+        ok = [o for o in out_rows
+              if o["kind"] == KIND_HTML and o["allowed"]
+              and o["page_type"] == PT_HTML and o["html"] is not None
+              and o["http_status"] is not None
+              and 200 <= o["http_status"] < 400]
+        if not ok:
+            return
+        cand = extract_candidates(
+            [o["url"] for o in ok], [o["domain"] for o in ok],
+            [o["seq"] for o in ok], [o["html"] for o in ok],
+            scope, n_parts)
+        if cand.num_rows == 0:
+            return
+        tag = hashlib.blake2b(
+            ("|".join(f"{o['domain']}:{o['seq']}" for o in ok)).encode(),
+            digest_size=8).hexdigest()
+        dparts = cand.column("dpart")
+        cand = cand.drop_columns(["dpart"])
+        import pyarrow.compute as _pc
+        for part in _pc.unique(dparts).to_pylist():
+            mask = _pc.equal(dparts, part)
+            pdir = os.path.join(next_dir, f"dpart={part}")
+            os.makedirs(pdir, exist_ok=True)
+            _pq.write_table(cand.filter(mask),
+                            os.path.join(pdir, f"cand-{tag}.parquet"))
 
 
-def make_fetch_fn(web_ref, handles: dict, round_no: int):
+def make_fetch_fn(web_ref, handles: dict, round_no: int, cand_sink=None):
     """Stateless-task fetch stage (see ``_WEB_CACHE``): one FetchStage per
     batch, construction amortized to a dict lookup after the first batch
     on each worker."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return FetchStage(web_ref, handles, round_no)(batch)
+        return FetchStage(web_ref, handles, round_no, cand_sink)(batch)
 
     return fn
 
@@ -339,68 +394,62 @@ def make_fetch_fn(web_ref, handles: dict, round_no: int):
 # stage 5: parse + explode next-round candidates
 # ---------------------------------------------------------------------------
 
-def make_parse_fn(scope: str, n_parts: int = 0):
-    """Parse + explode next-round candidates. When ``n_parts`` > 0 a
-    ``dpart = blake2b(domain) % n_parts`` column is appended — the write
-    side then hive-partitions on it, which IS the engine's domain shuffle
-    (explicit hash partitioning, materialized once, reused next round)."""
+def extract_candidates(urls, domains, seqs, htmls, scope: str,
+                       n_parts: int = 0) -> pa.Table:
+    """Parse fetched HTML and explode next-round frontier candidates.
+    When ``n_parts`` > 0 a ``dpart = blake2b(domain) % n_parts`` column is
+    appended — writing hive-partitioned on it IS the engine's domain
+    shuffle (explicit hash partitioning, materialized once at write time,
+    read back as complete per-domain blocks next round)."""
+    out_url, out_dom, out_kind = [], [], []
+    out_parent, out_pdom, out_pseq = [], [], []
+    out_cls, out_pos, out_ct, out_alt = [], [], [], []
 
-    def fn(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        domains = batch.column("domain").to_pylist()
-        seqs = batch.column("seq").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        out_url, out_dom, out_kind = [], [], []
-        out_parent, out_pdom, out_pseq = [], [], []
-        out_cls, out_pos, out_ct, out_alt = [], [], [], []
+    def emit(u, dom, kind, parent, pdom, pseq, cls, pos, ct=None, alt=None):
+        out_url.append(u)
+        out_dom.append(dom)
+        out_kind.append(kind)
+        out_parent.append(parent)
+        out_pdom.append(pdom)
+        out_pseq.append(pseq)
+        out_cls.append(cls)
+        out_pos.append(pos)
+        out_ct.append(ct)
+        out_alt.append(alt)
 
-        def emit(u, dom, kind, parent, pdom, pseq, cls, pos, ct=None, alt=None):
-            out_url.append(u)
-            out_dom.append(dom)
-            out_kind.append(kind)
-            out_parent.append(parent)
-            out_pdom.append(pdom)
-            out_pseq.append(pseq)
-            out_cls.append(cls)
-            out_pos.append(pos)
-            out_ct.append(ct)
-            out_alt.append(alt)
-
-        from ..functions.canonical import extract_domain
-        for u, dom, seq, html in zip(urls, domains, seqs, htmls):
-            if html is None:
+    from ..functions.canonical import extract_domain
+    for u, dom, seq, html in zip(urls, domains, seqs, htmls):
+        if html is None:
+            continue
+        res = extract_page(html, dom, scope)
+        for i, du in enumerate(res["data_links"]):
+            emit(du, dom, KIND_DATA, u, dom, seq, 0, i)
+        for i, (iu, ct, alt) in enumerate(res["images"]):
+            emit(iu, dom, KIND_IMAGE, u, dom, seq, 1, i, ct, alt)
+        for i, lu in enumerate(res["edges"]):
+            tdom = extract_domain(lu)
+            if not tdom:
                 continue
-            res = extract_page(html, dom, scope)
-            for i, du in enumerate(res["data_links"]):
-                emit(du, dom, KIND_DATA, u, dom, seq, 0, i)
-            for i, (iu, ct, alt) in enumerate(res["images"]):
-                emit(iu, dom, KIND_IMAGE, u, dom, seq, 1, i, ct, alt)
-            for i, lu in enumerate(res["edges"]):
-                tdom = extract_domain(lu)
-                if not tdom:
-                    continue
-                emit(lu, tdom, KIND_HTML, u, dom, seq, 2, i)
+            emit(lu, tdom, KIND_HTML, u, dom, seq, 2, i)
 
-        h1, h2 = url_hash128_many(out_url)
-        t = pa.table({
-            "url": pa.array(out_url, pa.string()),
-            "h1": pa.array(h1), "h2": pa.array(h2),
-            "domain": pa.array(out_dom, pa.string()),
-            "kind": pa.array(out_kind, pa.int8()),
-            "parent_url": pa.array(out_parent, pa.string()),
-            "p_dom": pa.array(out_pdom, pa.string()),
-            "p_seq": pa.array(out_pseq, pa.int64()),
-            "cls": pa.array(out_cls, pa.int32()),
-            "pos": pa.array(out_pos, pa.int32()),
-            "con_type": pa.array(out_ct, pa.string()),
-            "alt": pa.array(out_alt, pa.string()),
-        }, schema=S.FRONTIER_SCHEMA)
-        if n_parts:
-            t = t.append_column("dpart", pa.array(
-                [shard_of_str(d, n_parts) for d in out_dom], pa.int32()))
-        return t
-
-    return fn
+    h1, h2 = url_hash128_many(out_url)
+    t = pa.table({
+        "url": pa.array(out_url, pa.string()),
+        "h1": pa.array(h1), "h2": pa.array(h2),
+        "domain": pa.array(out_dom, pa.string()),
+        "kind": pa.array(out_kind, pa.int8()),
+        "parent_url": pa.array(out_parent, pa.string()),
+        "p_dom": pa.array(out_pdom, pa.string()),
+        "p_seq": pa.array(out_pseq, pa.int64()),
+        "cls": pa.array(out_cls, pa.int32()),
+        "pos": pa.array(out_pos, pa.int32()),
+        "con_type": pa.array(out_ct, pa.string()),
+        "alt": pa.array(out_alt, pa.string()),
+    }, schema=S.FRONTIER_SCHEMA)
+    if n_parts:
+        t = t.append_column("dpart", pa.array(
+            [shard_of_str(d, n_parts) for d in out_dom], pa.int32()))
+    return t
 
 
 def candidate_rows_for_urls(urls_info: list) -> pa.Table:
