@@ -20,14 +20,14 @@ class CrawlConfig:
     num_hash_shards: int = 2
     num_registry_shards: int = 2
     # stage sizing
-    fetch_batch_size: int = 512
+    fetch_batch_size: int = 1024
     # rows per scheduled chunk yielded to the (unfused) fetch operator —
     # combined with target_block_bytes this caps a fetch task's work, so a
     # hot domain's partition spreads over many fetch tasks (skew control)
-    fetch_chunk_rows: int = 256
+    fetch_chunk_rows: int = 512
     # target_max_block_size during the crawl execution; scheduled rows are
     # ~170 B so this keeps one or two chunks per block
-    target_block_bytes: int = 64 * 1024
+    target_block_bytes: int = 256 * 1024
     # target rows per block entering the domain shuffle — the unit of fetch
     # parallelism (each block becomes one fetch task; ~512 rows × ~2.5 ms
     # of fetch+decode ≈ 1.3 s per task, long enough to amortize task

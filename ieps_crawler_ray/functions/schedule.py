@@ -56,6 +56,101 @@ def sort_key(row: dict) -> tuple:
             row.get("cls", 0), row.get("pos", 0))
 
 
+def schedule_batch_df(df, state: dict, seeds: list):
+    """Vectorized whole-batch scheduler — semantically identical to
+    running ``schedule_domain_rows`` per domain group (the pure version
+    stays as the oracle's reference implementation; conformance tests pin
+    the equivalence). Processes every domain in ``df`` at once with
+    pandas/numpy kernels — no per-row Python loop — which is what keeps
+    the hot domain's partition task off the critical path.
+
+    Input columns: url h1 h2 domain kind parent_url p_dom p_seq cls pos
+    con_type alt seen allowed delay_ms. Returns a DataFrame with the
+    scheduled rows plus seq, fetch_time, stores_page, first_in_round,
+    round_first_parent, download, clock_after, next_seq_after.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not len(df):
+        return df.iloc[0:0]
+
+    df = df.sort_values(["domain", "p_dom", "p_seq", "cls", "pos"],
+                        kind="stable").reset_index(drop=True)
+    kind = df["kind"].to_numpy()
+    seen = df["seen"].to_numpy(dtype=bool)
+    allowed = df["allowed"].to_numpy(dtype=bool)
+    k0 = kind == KIND_HTML
+
+    # url "claims" in sort order: kind-0 rows always claim a page row
+    # (unless seen); DISALLOWED media rows claim too (handleDisallowed
+    # stores a page row; insert-if-not-exists keeps only the first)
+    claims = (~seen) & (k0 | ~allowed)
+    dup_claim = pd.Series(claims).groupby(
+        [df["domain"], df["url"]]).cumsum().to_numpy() > 1
+    # kind-0 drops: already seen, or lost the first-claim race
+    drop = k0 & (seen | (claims & dup_claim))
+    stores_page = claims & ~dup_claim
+
+    # media bookkeeping over ALL media rows (allowed or not), pre-drop:
+    # first_in_round + the round-first parent per (domain, filename)
+    media = ~k0
+    m_first = np.zeros(len(df), dtype=bool)
+    if media.any():
+        m_first = (~pd.Series(media).groupby(
+            [df["domain"], df["url"]]).cumsum().gt(1).to_numpy()) & media
+        firsts = df.loc[m_first, ["domain", "url", "parent_url"]]
+        fp = dict(zip(zip(firsts["domain"], firsts["url"]),
+                      firsts["parent_url"]))
+        rfp = [fp.get((d, u)) if m else None
+               for d, u, m in zip(df["domain"], df["url"], media)]
+    else:
+        rfp = [None] * len(df)
+    df = df.assign(stores_page=stores_page, first_in_round=m_first,
+                   round_first_parent=rfp)
+    df = df[~drop].reset_index(drop=True)
+    if not len(df):
+        return df
+
+    doms = df["domain"]
+    uniq = doms.unique()
+    clock0 = doms.map({d: state.get(d, (0, 0, False))[0]
+                       for d in uniq}).to_numpy()
+    seq0 = doms.map({d: state.get(d, (0, 0, False))[1]
+                     for d in uniq}).to_numpy()
+    download = doms.map({
+        d: state.get(d, (0, 0, any(d in s for s in seeds)))[2]
+        for d in uniq}).to_numpy(dtype=bool)
+
+    grp = doms.to_numpy()
+    g = pd.Series(np.arange(len(df))).groupby(grp)
+    cum = g.cumcount().to_numpy()
+    seq = seq0 + cum
+
+    kind2 = df["kind"].to_numpy()
+    adv = df["allowed"].to_numpy(dtype=bool) & (
+        (kind2 == KIND_HTML) | download)
+    contrib = np.where(adv, df["delay_ms"].to_numpy(), 0)
+    incl = pd.Series(contrib).groupby(grp).cumsum().to_numpy()
+    fetch_time = clock0 + incl - contrib      # exclusive prefix sum
+    totals = pd.Series(contrib).groupby(grp).sum()
+    counts = pd.Series(np.ones(len(df), np.int64)).groupby(grp).sum()
+    clock_after = doms.map(dict(
+        zip(totals.index, totals.to_numpy()))).to_numpy() + clock0
+    next_seq_after = seq0 + doms.map(dict(
+        zip(counts.index, counts.to_numpy()))).to_numpy()
+
+    out = df.assign(seq=seq, fetch_time=fetch_time, download=download,
+                    clock_after=clock_after,
+                    next_seq_after=next_seq_after)
+    # kind-0 rows: first_in_round True, no round-first parent (pure
+    # version sets these for the HTML branch)
+    k0m = out["kind"].to_numpy() == KIND_HTML
+    out.loc[k0m, "first_in_round"] = True
+    out.loc[k0m, "round_first_parent"] = None
+    return out
+
+
 def schedule_domain_rows(rows: list, clock_ms: int, next_seq: int,
                          download: bool) -> tuple:
     """Schedule one domain's candidate rows for one round.

@@ -118,18 +118,20 @@ class CrawlDriver:
     def _snapshot(self, gen: int) -> None:
         sdir = os.path.join(self.cfg.out_dir, "state", f"gen={gen}")
         os.makedirs(sdir, exist_ok=True)
-        for i, a in enumerate(self.handles["seen"]):
-            snap = ray.get(a.snapshot.remote())
+        # fire every shard's snapshot RPC up front; gather once
+        seen_refs = [a.snapshot.remote() for a in self.handles["seen"]]
+        hash_refs = [a.snapshot.remote() for a in self.handles["hash"]]
+        reg_refs = {name: [a.snapshot.remote() for a in self.handles[name]]
+                    for name in ("img_reg", "data_reg")}
+        for i, snap in enumerate(ray.get(seen_refs)):
             pq.write_table(pa.table({"h1": snap["h1"], "h2": snap["h2"]}),
                            os.path.join(sdir, f"seen_{i}.parquet"))
-        for i, a in enumerate(self.handles["hash"]):
+        for i, hashes in enumerate(ray.get(hash_refs)):
             pq.write_table(
-                pa.table({"hash": pa.array(ray.get(a.snapshot.remote()),
-                                           pa.string())}),
+                pa.table({"hash": pa.array(hashes, pa.string())}),
                 os.path.join(sdir, f"hash_{i}.parquet"))
         for name in ("img_reg", "data_reg"):
-            for i, a in enumerate(self.handles[name]):
-                store = ray.get(a.snapshot.remote())
+            for i, store in enumerate(ray.get(reg_refs[name])):
                 keys = sorted(store)
                 pq.write_table(pa.table({
                     "filename": pa.array(keys, pa.string()),
@@ -255,7 +257,14 @@ class CrawlDriver:
         # target_max_block_size (set in run()) keeps those chunks separate
         # blocks, so the unfused fetch operator load-balances a hot
         # domain's work across the pool instead of on one straggler task.
-        gate_fn = make_seen_robots_fn(self.handles)
+        # broadcast the parsed robots rules (small: one entry per domain)
+        # so the gate checks locally; actor RPC only on cache miss
+        rules: dict = {}
+        for shard_rules in ray.get([a.dump_rules.remote()
+                                    for a in self.handles["robots"]]):
+            rules.update(shard_rules)
+        rules_ref = ray.put(rules)
+        gate_fn = make_seen_robots_fn(self.handles, rules_ref)
         sched_fn = make_schedule_fn(state_ref, cfg.seeds,
                                     cfg.fetch_chunk_rows)
 
@@ -332,12 +341,22 @@ class CrawlDriver:
             n_next, doms = 0, set()
         new_doms = sorted(d for d in doms if d not in self.domain_state)
         if new_doms:
+            # warm the robots shards for the newly discovered domains so
+            # next round's broadcast covers them (parallel per shard)
+            by_shard: dict = {}
+            for d in new_doms:
+                by_shard.setdefault(
+                    shard_of_str(d, len(self.handles["robots"])),
+                    []).append(d)
+            boot_refs = [self.handles["robots"][s].bootstrap_many.remote(ds)
+                         for s, ds in by_shard.items()]
             infos = []
             for d in new_doms:
                 self.domain_state[d] = (0, 0,
                                         any(d in s for s in cfg.seeds))
                 infos.append({"url": canonicalize(d), "domain": d,
                               "p_dom": "", "p_seq": -1, "cls": -1, "pos": 0})
+            ray.get(boot_refs)
             _write_roots_partitioned(next_dir, infos,
                                      cfg.num_domain_partitions)
             n_next += len(infos)

@@ -29,7 +29,7 @@ from . import crawl as C
 _SCALES = {
     "sf0.001": (5, 60, 60, 3),
     "sf0.01": (10, 250, 80, 4),
-    "sf0.1": (40, 2000, 200, 9),
+    "sf0.1": (64, 20000, 1000, 9),
 }
 _DEFAULT_SCALE = (5, 60, 60, 3)
 

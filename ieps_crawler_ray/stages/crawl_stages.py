@@ -36,7 +36,7 @@ from ..functions.fetchclass import (PT_DISALLOWED, PT_HTML, classify_fetch,
                                     fetch_ok_for_extraction)
 from ..functions.hashing import url_hash128_many
 from ..functions.schedule import (KIND_DATA, KIND_HTML, KIND_IMAGE,
-                                  schedule_domain_rows)
+                                  schedule_batch_df)
 from ..state.actors import shard_of_str
 from .. import schema as S
 
@@ -60,7 +60,12 @@ def _fanout_by_shard(shards: np.ndarray, n: int):
 # stage 1: seen membership (contains only) + robots gate
 # ---------------------------------------------------------------------------
 
-def make_seen_robots_fn(handles: dict):
+def make_seen_robots_fn(handles: dict, rules_ref=None):
+    """Gate: URL-seen membership (sharded actor RPC, vectorized probes)
+    plus the robots allow/delay check. When ``rules_ref`` (a ``ray.put``
+    of {domain: RobotRules} collected from the robots shards) is given,
+    robots checks run LOCALLY in the task — the actor RPC is only the
+    fetch-on-miss fallback for domains not yet cached anywhere."""
     seen_actors = handles["seen"]
     robots_actors = handles["robots"]
     n_seen = len(seen_actors)
@@ -68,7 +73,6 @@ def make_seen_robots_fn(handles: dict):
 
     def fn(batch: pa.Table) -> pa.Table:
         nrows = batch.num_rows
-        kind = batch.column("kind").to_numpy()
         h1 = batch.column("h1").to_numpy()
         h2 = batch.column("h2").to_numpy()
         urls = batch.column("url").to_pylist()
@@ -84,16 +88,28 @@ def make_seen_robots_fn(handles: dict):
         for (s, idx), res in zip(parts, ray.get(refs)):
             seen[idx] = res
 
-        dshards = np.array([shard_of_str(d, n_rob) for d in domains])
-        parts = _fanout_by_shard(dshards, n_rob)
         allowed = np.ones(nrows, dtype=bool)
         delay = np.full(nrows, 4000, dtype=np.int64)
-        refs = [robots_actors[s].check.remote(
-            [domains[i] for i in idx], [urls[i] for i in idx])
-            for s, idx in parts]
-        for (s, idx), (a, d) in zip(parts, ray.get(refs)):
-            allowed[idx] = a
-            delay[idx] = d
+        rules = ray.get(rules_ref) if rules_ref is not None else {}
+        miss = []
+        for i, (d, u) in enumerate(zip(domains, urls)):
+            r = rules.get(d)
+            if r is None:
+                miss.append(i)
+            else:
+                allowed[i] = r.is_allowed(u)
+                delay[i] = r.get_delay_ms()
+        if miss:
+            midx = np.array(miss, dtype=np.int64)
+            dshards = np.array([shard_of_str(domains[i], n_rob)
+                                for i in miss])
+            parts = _fanout_by_shard(dshards, n_rob)
+            refs = [robots_actors[s].check.remote(
+                [domains[midx[i]] for i in idx],
+                [urls[midx[i]] for i in idx]) for s, idx in parts]
+            for (s, idx), (a, d) in zip(parts, ray.get(refs)):
+                allowed[midx[idx]] = a
+                delay[midx[idx]] = d
 
         return (batch.append_column("seen", pa.array(seen))
                 .append_column("allowed", pa.array(allowed))
@@ -120,24 +136,10 @@ def make_schedule_fn(state_ref, seeds: list, chunk_rows: int = 0):
     are already assigned, so fetch order is free."""
 
     def fn(df):
-        import pandas as pd
         state = ray.get(state_ref)
-        outs = []
-        for dom, g in df.groupby("domain", sort=True):
-            clock, nseq, download = state.get(
-                dom, (0, 0, any(dom in s for s in seeds)))
-            sched, clock, nseq = schedule_domain_rows(
-                g.to_dict("records"), clock, nseq, download)
-            if not sched:
-                continue
-            out = pd.DataFrame(sched)
-            out["download"] = download
-            out["clock_after"] = clock
-            out["next_seq_after"] = nseq
-            outs.append(out)
-        if not outs:
+        full = schedule_batch_df(df, state, seeds)
+        if not len(full):
             return  # nothing schedulable in this partition
-        full = pd.concat(outs, ignore_index=True)
         step = chunk_rows if chunk_rows > 0 else len(full) or 1
         for lo in range(0, len(full), step):
             yield full.iloc[lo:lo + step]
@@ -189,28 +191,35 @@ class FetchStage:
 
     # -- helpers ----------------------------------------------------------
 
-    def _seen_add(self, h1, h2):
+    def _seen_add_submit(self, h1, h2):
         actors = self.handles["seen"]
         parts = _fanout_by_shard(shard_of_h1(h1, len(actors)), len(actors))
-        ray.get([actors[s].add.remote(h1[idx], h2[idx]) for s, idx in parts])
+        return [actors[s].add.remote(h1[idx], h2[idx]) for s, idx in parts]
 
-    def _hash_observe(self, hashes, domains, seqs):
+    def _hash_observe_submit(self, hashes, domains, seqs):
         actors = self.handles["hash"]
         shards = np.array([shard_of_str(h, len(actors)) for h in hashes])
         parts = _fanout_by_shard(shards, len(actors))
-        ray.get([actors[s].observe.remote(
+        return [actors[s].observe.remote(
             [hashes[i] for i in idx], [domains[i] for i in idx],
-            [int(seqs[i]) for i in idx]) for s, idx in parts])
+            [int(seqs[i]) for i in idx]) for s, idx in parts]
 
-    def _register(self, pool: str, filenames, parents):
+    def _register_submit(self, pool: str, filenames, parents):
+        """Fire registry RPCs; returns (parts, refs) for _register_gather.
+        Split so the HTML fetch work overlaps the registry round-trip."""
         actors = self.handles[pool]
         shards = np.array([shard_of_str(f, len(actors)) for f in filenames])
         parts = _fanout_by_shard(shards, len(actors))
-        existed = np.zeros(len(filenames), dtype=bool)
-        orig = [None] * len(filenames)
         refs = [actors[s].register.remote(
             [filenames[i] for i in idx], [parents[i] for i in idx],
             self.round_no) for s, idx in parts]
+        return parts, refs, len(filenames)
+
+    @staticmethod
+    def _register_gather(submitted):
+        parts, refs, n = submitted
+        existed = np.zeros(n, dtype=bool)
+        orig = [None] * n
         for (s, idx), (ex, op) in zip(parts, ray.get(refs)):
             existed[idx] = ex
             for j, i in enumerate(idx):
@@ -230,35 +239,54 @@ class FetchStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
         out = []
-        # cross-round seen registration: every row that stores a page row
+        # submit ALL state RPCs up front; gather right before their
+        # results are needed — the HTML fetch/classify/parse work below
+        # overlaps the registry round-trip
         store = [r for r in rows if r.get("stores_page")]
-        if store:
-            self._seen_add(
-                np.array([r["h1"] for r in store], dtype=np.int64),
-                np.array([r["h2"] for r in store], dtype=np.int64))
-
-        obs_h, obs_d, obs_s = [], [], []
-        # registry round-trip for kind 1/2 (batched, idempotent)
+        seen_refs = self._seen_add_submit(
+            np.array([r["h1"] for r in store], dtype=np.int64),
+            np.array([r["h2"] for r in store], dtype=np.int64)) \
+            if store else []
         imgs = [r for r in rows if r["kind"] == KIND_IMAGE and r["allowed"]]
         datas = [r for r in rows if r["kind"] == KIND_DATA and r["allowed"]]
+        img_sub = self._register_submit(
+            "img_reg", [r["url"] for r in imgs],
+            [r["round_first_parent"] for r in imgs]) if imgs else None
+        data_sub = self._register_submit(
+            "data_reg", [r["url"] for r in datas],
+            [r["round_first_parent"] for r in datas]) if datas else None
+
+        obs_h, obs_d, obs_s = [], [], []
+        # kind-0 rows first (no registry dependency — overlaps the RPCs)
+        html_rows = [r for r in rows
+                     if r["kind"] == KIND_HTML or not r["allowed"]]
+        media_rows = [r for r in rows
+                      if r["kind"] != KIND_HTML and r["allowed"]]
+
         img_existed: dict = {}
         img_orig: dict = {}
-        if imgs:
-            ex, op = self._register(
-                "img_reg", [r["url"] for r in imgs],
-                [r["round_first_parent"] for r in imgs])
-            for r, e, o in zip(imgs, ex, op):
-                img_existed[r["url"]] = bool(e)
-                img_orig[r["url"]] = o
         data_existed: dict = {}
-        if datas:
-            ex, _ = self._register(
-                "data_reg", [r["url"] for r in datas],
-                [r["round_first_parent"] for r in datas])
-            for r, e in zip(datas, ex):
-                data_existed[r["url"]] = bool(e)
 
-        for r in rows:
+        def gather_registry():
+            if img_sub is not None:
+                ex, op = self._register_gather(img_sub)
+                for r, e, o in zip(imgs, ex, op):
+                    img_existed[r["url"]] = bool(e)
+                    img_orig[r["url"]] = o
+            if data_sub is not None:
+                ex, _ = self._register_gather(data_sub)
+                for r, e in zip(datas, ex):
+                    data_existed[r["url"]] = bool(e)
+
+        registry_done = [False]
+
+        def row_iter():
+            yield from html_rows
+            gather_registry()
+            registry_done[0] = True
+            yield from media_rows
+
+        for r in row_iter():
             o = {k: r.get(k) for k in
                  ("url", "h1", "h2", "domain", "kind", "parent_url", "seq",
                   "fetch_time", "allowed", "delay_ms", "download",
@@ -333,11 +361,16 @@ class FetchStage:
                 o["downloaded"] = o["data"] is not None
             out.append(o)
 
-        if obs_h:
-            self._hash_observe(obs_h, obs_d, obs_s)
+        if not registry_done[0]:
+            gather_registry()   # no media rows: still drain the RPCs
+        hash_refs = (self._hash_observe_submit(obs_h, obs_d, obs_s)
+                     if obs_h else [])
         result = pa.Table.from_pylist(out, schema=S.FETCHED_SCHEMA)
         if self.cand_sink is not None:
             self._write_candidates(out)
+        # barrier: all state mutations of this batch are durable before
+        # the task completes (next round's gate may read them)
+        ray.get(seen_refs + hash_refs)
         return result
 
     def _write_candidates(self, out_rows: list) -> None:

@@ -100,6 +100,18 @@ class RobotsShardActor:
             delay[i] = r.get_delay_ms()
         return allowed, delay
 
+    def bootstrap_many(self, domains: list) -> int:
+        for d in domains:
+            self._ensure(d)
+        return len(self.rules)
+
+    def dump_rules(self) -> dict:
+        """Parsed rules for every cached domain — broadcast by the driver
+        each round so the gate checks robots LOCALLY in the partition
+        tasks (vector-friendly, no per-row actor serialization); the actor
+        RPC remains only the fetch-on-miss fallback."""
+        return dict(self.rules)
+
     def dump_sites(self) -> list:
         return [self.sites[d] for d in sorted(self.sites)]
 
