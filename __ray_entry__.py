@@ -59,6 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": A.doc_lang_id,
         # crawl engine + multimodal (rows-only)
         "crawl_flagship": F.crawl_flagship,
+        "crawl_order": F.crawl_order_check,
+        "crawl_links": F.crawl_links,
+        "crawl_images": F.crawl_images,
+        "crawl_page_data": F.crawl_page_data,
+        "crawl_sites": F.crawl_sites,
+        "crawl_statistics": F.crawl_statistics,
         "image_decode_stats": F.image_decode_stats,
     }
 

@@ -363,10 +363,24 @@ class CrawlDriver:
 
         self.pages_total += n_pages
         self._snapshot(gen)
+        # per-partition lineage: rows fetched per dpart this round (from
+        # the same narrow meta read) — a resumed or audited run can
+        # account for every partition's contribution
+        per_part: dict = {}
+        if meta is not None:
+            pp = pa.table({
+                "dpart": pa.array([shard_of_str(d, cfg.num_domain_partitions)
+                                   for d in meta.column("domain").to_pylist()],
+                                  pa.int32())}).group_by("dpart") \
+                .aggregate([([], "count_all")])
+            per_part = {str(d): int(n) for d, n in zip(
+                pp.column("dpart").to_pylist(),
+                pp.column("count_all").to_pylist())}
         _write_manifest(cfg.out_dir, gen, {
             "candidates": n_cand, "fetched": n_fetched, "pages": n_pages,
             "pages_total": self.pages_total, "next_candidates": n_next,
-            "new_domains": len(self.domain_state)})
+            "new_domains": len(self.domain_state),
+            "fetched_per_partition": per_part})
         return n_next
 
     # ---------------- main loop ----------------
@@ -530,3 +544,71 @@ def read_sites(out_dir: str) -> pa.Table:
     sdir = os.path.join(out_dir, "state")
     gens = sorted(os.listdir(sdir), key=lambda s: int(s.split("=")[1]))
     return pq.read_table(os.path.join(sdir, gens[-1], "sites.parquet"))
+
+
+def crawl_stats(out_dir: str) -> "pd.DataFrame":
+    """Crawl-statistics aggregation — the reference's post-hoc analysis
+    (A2: counts by page_type, status histogram, dup counts, avg load
+    time; `r/loadTime.R:1-8`, `report/report.tex:166-210`) as one Ray
+    Data pass over the pages view."""
+    from ray.data.aggregate import Count, Mean
+
+    pages = read_pages(out_dir)
+    by_type = pages.groupby("page_type").aggregate(
+        Count(alias_name="n")).to_pandas()
+    by_status = read_pages(out_dir).groupby("http_status").aggregate(
+        Count(alias_name="n"),
+        Mean("load_time_ms", alias_name="avg_load_ms")).to_pandas()
+    import pandas as pd
+    by_type = by_type.rename(columns={"page_type": "key"})
+    by_type["stat"] = "page_type"
+    by_status = by_status.rename(columns={"http_status": "key"})
+    by_status["key"] = by_status["key"].astype("string")
+    by_status["stat"] = "http_status"
+    out = pd.concat([by_type, by_status], ignore_index=True)
+    return out[["stat", "key", "n"] +
+               [c for c in ("avg_load_ms",) if c in out.columns]]
+
+
+def _main() -> None:
+    """CLI: run the crawl engine over the deterministic synthetic world.
+
+    python -m ieps_crawler_ray.pipelines.crawl --out /tmp/crawl \
+        [--sf-dir /root/testdata/sf0.01] [--max-rounds N] [--no-resume]
+    """
+    import argparse
+    import time
+
+    p = argparse.ArgumentParser(
+        description="Ray-Data-native crawl engine over the synthetic web")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="sf tier dir controlling world scale")
+    p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--max-pages", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing checkpoints and restart")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kw)
+    rd.DataContext.get_current().enable_progress_bars = False
+    from .flagship import world_for_sf
+    web = world_for_sf(args.sf_dir)
+    cfg = CrawlConfig(out_dir=args.out, seeds=list(web.seeds),
+                      max_rounds=args.max_rounds, max_pages=args.max_pages)
+    t0 = time.time()
+    res = run_crawl(web, cfg, resume=not args.no_resume)
+    man = _read_manifests(args.out)
+    fetched = sum(m.get("fetched", 0) for m in man.values())
+    print(json.dumps(dict(res, fetched=fetched,
+                          seconds=round(time.time() - t0, 2))))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()

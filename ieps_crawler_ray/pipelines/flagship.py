@@ -42,32 +42,73 @@ def world_for_sf(sf_dir: str) -> SyntheticWeb:
                                     n_corpus=nc, seed=42, n_seeds=ns), corpus)
 
 
+# one crawl per (process, sf tier): every crawl_* query below reads views
+# of the same run's output instead of re-crawling
+_CRAWL_CACHE: dict = {}
+
+
+def _crawled(sf_dir: str) -> str:
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    out = _CRAWL_CACHE.get(tier)
+    if out is None or not os.path.isdir(out):
+        web = world_for_sf(sf_dir)
+        out = tempfile.mkdtemp(prefix=f"ieps_crawl_{tier}_", dir="/tmp")
+        C.run_crawl(web, CrawlConfig(out_dir=out, seeds=list(web.seeds)))
+        _CRAWL_CACHE[tier] = out
+    return out
+
+
 def crawl_flagship(sf_dir: str):
     """Full crawl over the sf-scaled synthetic world; returns the pages
     table (url, domain, page_type, http_status, content_hash, seq)."""
-    web = world_for_sf(sf_dir)
-    out = tempfile.mkdtemp(prefix="ieps_crawl_", dir="/tmp")
-    try:
-        C.run_crawl(web, CrawlConfig(out_dir=out, seeds=list(web.seeds)))
-        pages = C.read_pages(out).select_columns(
-            ["url", "domain", "page_type", "http_status", "content_hash",
-             "seq", "fetch_time"]).to_pandas()
-        return pages.sort_values(["domain", "seq"]).reset_index(drop=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    out = _crawled(sf_dir)
+    pages = C.read_pages(out).select_columns(
+        ["url", "domain", "page_type", "http_status", "content_hash",
+         "seq", "fetch_time"]).to_pandas()
+    return pages.sort_values(["domain", "seq"]).reset_index(drop=True)
 
 
 def crawl_order_check(sf_dir: str):
-    """Per-domain crawl-order table from the flagship run at unit scale
-    (kept separate so the driver's rows-only check pins ordering)."""
-    web = world_for_sf(sf_dir)
-    out = tempfile.mkdtemp(prefix="ieps_order_", dir="/tmp")
-    try:
-        C.run_crawl(web, CrawlConfig(out_dir=out, seeds=list(web.seeds)))
-        order = C.read_order(out).to_pandas()
-        return order.sort_values(["domain", "seq"]).reset_index(drop=True)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    """Per-domain crawl-order table from the flagship run (rows-only
+    check pins the per-domain FIFO ordering contract, O1)."""
+    order = C.read_order(_crawled(sf_dir)).to_pandas()
+    return order.sort_values(["domain", "seq"]).reset_index(drop=True)
+
+
+def crawl_links(sf_dir: str):
+    """Deduplicated link-graph edges between stored pages (K4/D5/J4)."""
+    links = C.read_links(_crawled(sf_dir)).to_pandas()
+    return links.sort_values(["parent_url", "url"]).reset_index(drop=True)
+
+
+def crawl_images(sf_dir: str):
+    """Images table: every image reference with duplicate flag, original
+    parent quirk, and decoded (w, h, fmt, phash, caption) for downloaded
+    rows (K2/D3/M10)."""
+    imgs = C.read_images(_crawled(sf_dir)).select_columns(
+        ["url", "domain", "parent_url", "seq", "is_duplicate",
+         "downloaded", "content_type", "w", "h", "fmt", "phash",
+         "caption"]).to_pandas()
+    return imgs.sort_values(["domain", "seq"]).reset_index(drop=True)
+
+
+def crawl_page_data(sf_dir: str):
+    """Binary-document table (pdf/doc/docx/ppt/pptx rows, K3)."""
+    pdata = C.read_page_data(_crawled(sf_dir)).select_columns(
+        ["url", "domain", "parent_url", "seq", "is_duplicate",
+         "downloaded", "content_type", "data_type"]).to_pandas()
+    return pdata.sort_values(["domain", "seq"]).reset_index(drop=True)
+
+
+def crawl_sites(sf_dir: str):
+    """Sites table: domain + robots + sitemap text (K5/ST2)."""
+    t = C.read_sites(_crawled(sf_dir)).to_pandas()
+    return t.sort_values("domain").reset_index(drop=True)
+
+
+def crawl_statistics(sf_dir: str):
+    """Crawl-report statistics (A2 — the reference's report table)."""
+    return C.crawl_stats(_crawled(sf_dir))
 
 
 def image_decode_stats(sf_dir: str):
