@@ -19,6 +19,7 @@ class CrawlConfig:
     num_robots_shards: int = 2
     num_hash_shards: int = 2
     num_registry_shards: int = 2
+    num_writer_shards: int = 8
     # stage sizing
     fetch_batch_size: int = 1024
     # rows per scheduled chunk yielded to the (unfused) fetch operator —

@@ -221,6 +221,8 @@ class CrawlDriver:
 
     def _run_round(self, gen: int) -> int:
         """Returns number of next-round candidates."""
+        import time as _time
+        t_round = _time.time()
         cfg = self.cfg
         fdir = os.path.join(cfg.out_dir, "frontier", f"gen={gen}")
         rdir = os.path.join(cfg.out_dir, "rounds", f"gen={gen}")
@@ -282,12 +284,27 @@ class CrawlDriver:
                          batch_size=None, num_cpus=0.75)
         fetched = sched.map_batches(
             make_fetch_fn(self.web_ref, self.handles, gen,
-                          cand_sink=(next_dir, cfg.scope,
+                          cand_sink=(cfg.scope,
                                      cfg.num_domain_partitions)),
             batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
             num_cpus=1)
+        t_exec = _time.time()
         fetched.write_parquet(fetched_dir)
+        exec_seconds = round(_time.time() - t_exec, 3)
         _clean_empty_parquet(fetched_dir)
+
+        # round flush: the candidate writer shards persist the next
+        # generation (one file per dpart per shard) and report counts +
+        # unique domains, so the driver never re-scans what it just wrote
+        flush = ray.get([w.flush.remote(gen, next_dir)
+                         for w in self.handles["cand_writers"]])
+        n_next = sum(f[0] for f in flush)
+        doms = set()
+        next_per_part: dict = {}
+        for _n, ds_, pp in flush:
+            doms.update(ds_)
+            for p, c in pp.items():
+                next_per_part[p] = next_per_part.get(p, 0) + c
 
         # ONE narrow metadata read of the round output feeds the per-domain
         # state update (every row of a domain carries the final clock/seq
@@ -328,17 +345,8 @@ class CrawlDriver:
             "seq": pa.array([s for _, s in dup_pairs], pa.int64()),
         }), os.path.join(ov_dir, "dups.parquet"))
 
-        # new-domain discovery -> root enqueue + state entry (one narrow
-        # column read of the freshly written next generation)
-        has_next = any(f.endswith(".parquet")
-                       for _r, _d, fs in os.walk(next_dir) for f in fs)
-        if has_next:
-            next_doms = pads.dataset(next_dir, format="parquet").to_table(
-                columns=["domain"]).column("domain")
-            n_next = len(next_doms)
-            doms = set(pc.unique(next_doms).to_pylist())
-        else:
-            n_next, doms = 0, set()
+        # new-domain discovery -> root enqueue + state entry (domains come
+        # back from the writer flush — no read-back scan)
         new_doms = sorted(d for d in doms if d not in self.domain_state)
         if new_doms:
             # warm the robots shards for the newly discovered domains so
@@ -380,7 +388,11 @@ class CrawlDriver:
             "candidates": n_cand, "fetched": n_fetched, "pages": n_pages,
             "pages_total": self.pages_total, "next_candidates": n_next,
             "new_domains": len(self.domain_state),
-            "fetched_per_partition": per_part})
+            "round_seconds": round(_time.time() - t_round, 3),
+            "exec_seconds": exec_seconds,
+            "fetched_per_partition": per_part,
+            "next_candidates_per_partition": {
+                str(k): int(v) for k, v in sorted(next_per_part.items())}})
         return n_next
 
     # ---------------- main loop ----------------

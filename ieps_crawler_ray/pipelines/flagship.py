@@ -25,19 +25,31 @@ from ..sources.corpus import build_corpus_rows
 from ..sources.synthetic_web import SyntheticWeb, WorldConfig
 from . import crawl as C
 
-# sf tier -> (n_domains, total_pages, n_corpus, n_seeds)
+# sf tier -> (n_domains, total_pages, n_corpus, n_seeds, img_min, img_max)
 _SCALES = {
-    "sf0.001": (5, 60, 60, 3),
-    "sf0.01": (10, 250, 80, 4),
-    "sf0.1": (64, 20000, 1000, 9),
+    "sf0.001": (5, 60, 60, 3, 32, 128),
+    "sf0.01": (10, 250, 80, 4, 32, 128),
+    "sf0.1": (64, 20000, 1000, 9, 128, 288),
 }
-_DEFAULT_SCALE = (5, 60, 60, 3)
+_DEFAULT_SCALE = (5, 60, 60, 3, 32, 128)
 
 
 def world_for_sf(sf_dir: str) -> SyntheticWeb:
     tier = os.path.basename(os.path.normpath(sf_dir))
-    nd, tp, nc, ns = _SCALES.get(tier, _DEFAULT_SCALE)
-    corpus = build_corpus_rows(nc)
+    nd, tp, nc, ns, lo, hi = _SCALES.get(tier, _DEFAULT_SCALE)
+    # the corpus build is deterministic — cache it on disk so repeated
+    # bench processes (e.g. the three --scaling levels) skip the ~20 s
+    # encode pass
+    import pyarrow.parquet as pq
+    cache = f"/tmp/ieps_corpus_{tier}_{nc}_{lo}_{hi}_42.parquet"
+    try:
+        corpus = pq.read_table(cache)
+        assert corpus.num_rows == nc
+    except Exception:
+        corpus = build_corpus_rows(nc, min_size=lo, max_size=hi)
+        tmp = cache + f".tmp{os.getpid()}"
+        pq.write_table(corpus, tmp)
+        os.replace(tmp, cache)
     return SyntheticWeb(WorldConfig(n_domains=nd, total_pages=tp,
                                     n_corpus=nc, seed=42, n_seeds=ns), corpus)
 

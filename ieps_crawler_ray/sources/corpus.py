@@ -39,10 +39,12 @@ def caption_for(idx: int, seed: int = 42) -> str:
     return f"caption of img{idx:08d}: " + " ".join(_VOCAB[int(w)] for w in words)
 
 
-def build_corpus_rows(n: int, seed: int = 42, start: int = 0) -> pa.Table:
+def build_corpus_rows(n: int, seed: int = 42, start: int = 0,
+                      min_size: int = 32, max_size: int = 128) -> pa.Table:
     ids, blobs, ws, hs, fmts, caps, phashes = [], [], [], [], [], [], []
     for idx in range(start, start + n):
-        img = ic.procedural_image(idx, seed=seed)
+        img = ic.procedural_image(idx, seed=seed,
+                                  min_size=min_size, max_size=max_size)
         fmt = _FMT_CYCLE[idx % 3]
         data = ic.encode_image(img, fmt)
         if fmt == "jpeg":

@@ -366,50 +366,51 @@ class FetchStage:
         hash_refs = (self._hash_observe_submit(obs_h, obs_d, obs_s)
                      if obs_h else [])
         result = pa.Table.from_pylist(out, schema=S.FETCHED_SCHEMA)
-        if self.cand_sink is not None:
-            self._write_candidates(out)
+        cand_refs = (self._submit_candidates(out)
+                     if self.cand_sink is not None else [])
         # barrier: all state mutations of this batch are durable before
-        # the task completes (next round's gate may read them)
-        ray.get(seen_refs + hash_refs)
+        # the task completes (next round's gate may read them; candidate
+        # submissions must land before the driver's round flush)
+        ray.get(seen_refs + hash_refs + cand_refs)
         return result
 
-    def _write_candidates(self, out_rows: list) -> None:
+    def _submit_candidates(self, out_rows: list) -> list:
         """Fused parse: extract next-round candidates from this batch's
-        OK-HTML rows and write them straight into the next generation's
-        dpart=J hive layout. File names are deterministic in the batch's
-        (domain, seq) content, so a task retry overwrites its own output
-        (idempotent, exactly-once per partition)."""
+        OK-HTML rows and submit the per-dpart slices to the candidate
+        writer shards (one RPC per shard). The batch tag — a hash of the
+        batch's (domain, seq) content — makes re-submission from a task
+        retry a no-op on the writer."""
         import hashlib
-        import os
 
-        import pyarrow.parquet as _pq
+        import pyarrow.compute as _pc
 
-        next_dir, scope, n_parts = self.cand_sink
+        scope, n_parts = self.cand_sink
         ok = [o for o in out_rows
               if o["kind"] == KIND_HTML and o["allowed"]
               and o["page_type"] == PT_HTML and o["html"] is not None
               and o["http_status"] is not None
               and 200 <= o["http_status"] < 400]
         if not ok:
-            return
+            return []
         cand = extract_candidates(
             [o["url"] for o in ok], [o["domain"] for o in ok],
             [o["seq"] for o in ok], [o["html"] for o in ok],
             scope, n_parts)
         if cand.num_rows == 0:
-            return
+            return []
         tag = hashlib.blake2b(
             ("|".join(f"{o['domain']}:{o['seq']}" for o in ok)).encode(),
             digest_size=8).hexdigest()
         dparts = cand.column("dpart")
         cand = cand.drop_columns(["dpart"])
-        import pyarrow.compute as _pc
+        writers = self.handles["cand_writers"]
+        by_writer: dict = {}
         for part in _pc.unique(dparts).to_pylist():
-            mask = _pc.equal(dparts, part)
-            pdir = os.path.join(next_dir, f"dpart={part}")
-            os.makedirs(pdir, exist_ok=True)
-            _pq.write_table(cand.filter(mask),
-                            os.path.join(pdir, f"cand-{tag}.parquet"))
+            slice_t = cand.filter(_pc.equal(dparts, part))
+            by_writer.setdefault(part % len(writers), []).append(
+                (part, slice_t))
+        return [writers[w].submit.remote(self.round_no, tag, parts)
+                for w, parts in by_writer.items()]
 
 
 def make_fetch_fn(web_ref, handles: dict, round_no: int, cand_sink=None):

@@ -30,7 +30,7 @@ from ..functions.robots import parse_robots, parse_sitemap_urls
 from .cuckoo import SeenShard
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)
 class SeenShardActor:
     def __init__(self, shard_id: int):
         self.shard_id = shard_id
@@ -56,7 +56,7 @@ class SeenShardActor:
         self.shard = SeenShard.restore(snap)
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)
 class RobotsShardActor:
     """Caches parsed robots rules per domain; fetches on miss from the
     (simulated) web. Also owns the ``sites`` rows for its domains."""
@@ -121,7 +121,7 @@ class RobotsShardActor:
             self.rules[s["domain"]] = parse_robots(s["robots_content"])
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)
 class HashWinnerActor:
     """Content-hash dedup with the deterministic winner rule: within a
     round the (domain, seq)-minimal fetcher wins; hashes from earlier
@@ -167,7 +167,7 @@ class HashWinnerActor:
         self.round_obs = []
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0)
 class RegistryActor:
     """Filename registry for images / page_data: exists-check + the
     original-parent quirk (dup image rows keep the ORIGINAL's page —
@@ -203,6 +203,58 @@ class RegistryActor:
         self.store = {k: tuple(v) for k, v in store.items()}
 
 
+@ray.remote(num_cpus=0)
+class CandidateWriterActor:
+    """Buffers next-generation frontier candidates for its dpart shard
+    group and writes ONE parquet file per dpart at round flush. This is
+    the write side of the engine's domain shuffle: fetch tasks submit
+    per-dpart slices (idempotent via batch tags, so task retries don't
+    duplicate rows), the driver flushes after the round's execution
+    barrier. Keeps the frontier at ~one file per partition per round
+    instead of (tasks x dparts) tiny files."""
+
+    def __init__(self, shard_id: int):
+        self.shard_id = shard_id
+        self.gen = None
+        self.buf: dict = {}    # dpart -> [pa.Table]
+        self.tags: set = set()
+
+    def submit(self, gen: int, tag: str, parts: list) -> None:
+        if self.gen != gen:
+            self.buf, self.tags, self.gen = {}, set(), gen
+        if tag in self.tags:
+            return
+        self.tags.add(tag)
+        for dpart, table in parts:
+            self.buf.setdefault(dpart, []).append(table)
+
+    def flush(self, gen: int, next_dir: str) -> tuple:
+        """Write buffered tables; returns (rows_written, unique_domains,
+        rows_per_dpart) so the driver needs no read-back scan."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if self.gen != gen:
+            return 0, [], {}
+        n = 0
+        doms: set = set()
+        per_part: dict = {}
+        for dpart, tables in sorted(self.buf.items()):
+            t = pa.concat_tables(tables)
+            pdir = os.path.join(next_dir, f"dpart={dpart}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                t, os.path.join(pdir, f"cand-w{self.shard_id}.parquet"))
+            n += t.num_rows
+            per_part[int(dpart)] = t.num_rows
+            doms.update(pc.unique(t.column("domain")).to_pylist())
+        self.buf, self.tags = {}, set()
+        return n, sorted(doms), per_part
+
+
 def make_actor_pools(cfg, web_ref):
     """Spawn all state actor pools; returns a handle bundle dict."""
     return {
@@ -214,6 +266,8 @@ def make_actor_pools(cfg, web_ref):
                     for i in range(cfg.num_registry_shards)],
         "data_reg": [RegistryActor.remote(i)
                      for i in range(cfg.num_registry_shards)],
+        "cand_writers": [CandidateWriterActor.remote(i)
+                         for i in range(cfg.num_writer_shards)],
     }
 
 
