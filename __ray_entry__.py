@@ -49,8 +49,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": A.doc_quality,
         "doc_exact_dedup": A.doc_exact_dedup,
         "url_canonicalize": A.url_canonicalize,
+        # joins / windows (SQL-checked)
+        "revenue_by_orderpriority": A.revenue_by_orderpriority,
+        "user_value_running_sum": A.user_value_running_sum,
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
+        "knn_ivf": A.knn_ivf,
         # dedup / fingerprints / language (rows-only)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
         "embedding_neardup": A.embedding_neardup,
@@ -66,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sites": F.crawl_sites,
         "crawl_statistics": F.crawl_statistics,
         "image_decode_stats": F.image_decode_stats,
+        "image_thumbnails": F.image_thumbnails,
     }
 
 

@@ -101,22 +101,25 @@ _MINHASH_PRIME = (1 << 61) - 1
 
 
 def minhash_params(num_perm: int = 64, seed: int = 7):
+    """a < 2^30 and 32-bit shingle hashes keep a*x + b < 2^63, so the
+    permutation math stays in native int64 (no Python bigints)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MINHASH_PRIME, size=num_perm, dtype=np.int64)
+    a = rng.integers(1, 1 << 30, size=num_perm, dtype=np.int64)
     b = rng.integers(0, _MINHASH_PRIME, size=num_perm, dtype=np.int64)
     return a, b
 
 
 def minhash_signature(shingles: set, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm-wide MinHash signature (uint64)."""
+    """num_perm-wide MinHash signature (uint64), fully vectorized:
+    crc32 shingle hashes x int64 modular permutations."""
+    import zlib
+
     if not shingles:
         return np.zeros(len(a), dtype=np.uint64)
-    hv = np.array([_h64(s) for s in shingles], dtype=np.uint64)
-    # (a*x + b) mod p, vectorized over shingles x perms via object-free math
-    hv = hv.astype(object)[:, None]
-    vals = (hv * a.astype(object)[None, :] + b.astype(object)[None, :]) \
-        % _MINHASH_PRIME
-    return np.min(np.array(vals, dtype=np.uint64), axis=0)
+    hv = np.fromiter((zlib.crc32(s.encode("utf-8", "surrogatepass"))
+                      for s in shingles), dtype=np.int64, count=len(shingles))
+    vals = (hv[:, None] * a[None, :] + b[None, :]) % _MINHASH_PRIME
+    return vals.min(axis=0).astype(np.uint64)
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:

@@ -518,6 +518,38 @@ ORACLE_SQL = {
                LOWER(source) || '.gov.si' AS domain
         FROM documents
     """,
+    "revenue_by_orderpriority": """
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "user_value_running_sum": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id), 2) AS running_value
+        FROM events
+    """,
+    "knn_ivf": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS qe
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS ce
+                   FROM embeddings WHERE vec_id >= 5),
+             scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(qe, ce) AS score
+                FROM q CROSS JOIN c),
+             ranked AS (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) AS rank
+                FROM scored)
+        SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+    """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -539,3 +571,125 @@ ORACLE_SQL = {
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
     """,
 }
+
+
+def revenue_by_orderpriority(sf_dir: str):
+    """Big-big hash join (lineitem ⋈ orders on orderkey) via Ray Data's
+    partitioned hash join — both sides shuffle on the join key (neither
+    fits a broadcast at scale) — then a small groupby. J-class operator
+    beyond the reference's per-record lookups (SURVEY.md §2.4)."""
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("rev", alias_name="revenue")).to_pandas()
+    out["revenue"] = out["revenue"].round(2)
+    return out[["o_orderpriority", "n_items", "revenue"]]
+
+
+def user_value_running_sum(sf_dir: str):
+    """Ordered per-user window: running sum of `value` by ts (streaming-
+    shaped windowed aggregate via groupby().map_groups over ts-sorted
+    groups)."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "running_value": g["value"].cumsum().round(2)})
+
+    return ev.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+def knn_ivf(sf_dir: str, k: int = 3, n_queries: int = 5,
+            n_list: int = 4, n_probe: int = 4):
+    """IVF-Flat similarity search: deterministic k-means coarse centroids
+    (driver-side on a sample, broadcast), inverted-list assignment in
+    map_batches, per-list brute-force scoring of probed lists only.
+    With n_probe == n_list the result is exact (same oracle as
+    knn_cosine); production at 10^10 rows uses n_probe << n_list so each
+    query touches a small fraction of the lists."""
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    sample = pd.read_parquet(_pq(sf_dir, "embeddings"),
+                             columns=["vec_id", "embedding"])
+    M = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    # deterministic Lloyd k-means (few iters; kmeans++-free fixed init)
+    rng = np.random.default_rng(3)
+    cent = M[rng.choice(len(M), size=n_list, replace=False)]
+    for _ in range(8):
+        assign = np.argmax(M @ cent.T, axis=1)
+        for c in range(n_list):
+            pts = M[assign == c]
+            if len(pts):
+                v = pts.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) or 1.0)
+    cent_ref = ray.put(cent)
+
+    qdf = sample[sample["vec_id"] < n_queries].sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = qdf["vec_id"].to_numpy()
+    probed = np.argsort(-(Q @ cent.T), axis=1)[:, :n_probe]
+    q_ref = ray.put((q_ids, Q, probed))
+
+    def assign_lists(batch: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cent_ref)
+        batch = batch[batch["vec_id"] >= n_queries]
+        if not len(batch):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "list_id": pd.Series(dtype="int64"),
+                                 "embedding": pd.Series(dtype="object")})
+        V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(),
+                             "list_id": np.argmax(V @ C.T, axis=1),
+                             "embedding": batch["embedding"].to_numpy()})
+
+    def score_list(g: pd.DataFrame) -> pd.DataFrame:
+        qi, Qm, prob = ray.get(q_ref)
+        lid = int(g["list_id"].iloc[0])
+        qsel = np.nonzero((prob == lid).any(axis=1))[0]
+        if not len(qsel):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Qm[qsel] @ V.T
+        ids = g["vec_id"].to_numpy()
+        rows = []
+        for r, qrow in enumerate(qsel):
+            order = np.lexsort((ids, -sims[r]))[:k]
+            for c in order:
+                rows.append((int(qi[qrow]), int(ids[c]), float(sims[r, c])))
+        return pd.DataFrame(rows,
+                            columns=["query_id", "neighbor_id", "score"])
+
+    parts = ds.map_batches(assign_lists, batch_format="pandas") \
+        .groupby("list_id").map_groups(score_list, batch_format="pandas") \
+        .to_pandas()
+    out = []
+    for q, g in parts.groupby("query_id"):
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            out.append((q, rank, int(r["neighbor_id"])))
+    return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id"])

@@ -123,6 +123,39 @@ def crawl_statistics(sf_dir: str):
     return C.crawl_stats(_crawled(sf_dir))
 
 
+def image_thumbnails(sf_dir: str):
+    """Multimodal actor-pool stage demo: corpus images -> 32x32 thumbs
+    (decode -> nearest-neighbour resize -> re-encode) via
+    map_batches(ImageResizeStage, concurrency=N). Returns per-image
+    verification rows (the thumb is re-decoded to prove the roundtrip)."""
+    from ..functions import image_codec as ic
+    from ..stages.multimodal import ImageResizeStage
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    corpus = build_corpus_rows(nc)
+    ds = rd.from_arrow(corpus).map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"target_w": 32, "target_h": 32},
+        batch_format="pyarrow", batch_size=32, concurrency=2)
+
+    def check(batch: pa.Table) -> pa.Table:
+        oks = []
+        for i in range(batch.num_rows):
+            data = batch.column("thumb")[i].as_py()
+            try:
+                img, fmt = ic.decode_image(data)
+                oks.append(int(fmt == "png" and img.shape == (32, 32, 3)))
+            except Exception:
+                oks.append(0)
+        return pa.table({"image_id": batch.column("image_id"),
+                         "w": batch.column("w"), "h": batch.column("h"),
+                         "roundtrip_ok": pa.array(oks, pa.int64())})
+
+    out = ds.map_batches(check, batch_format="pyarrow").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def image_decode_stats(sf_dir: str):
     """Multimodal decode stage as a Ray pipeline: corpus bytes →
     decode → (w, h, fmt) verify + phash + PSNR-vs-golden check. Returns

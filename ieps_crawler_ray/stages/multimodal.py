@@ -1,0 +1,179 @@
+"""Multimodal actor-pool stages: image / audio / video payloads as opaque
+``binary`` columns with typed metadata, processed by callable classes
+behind ``map_batches(Cls, concurrency=N, batch_size=B)``.
+
+Design contract (training-data-pipeline extension of SURVEY.md §2.2 M10):
+payload bytes ride in ``large_binary`` columns, batches stay SMALL (binary
+rows are wide — size ``batch_size`` so batch x concurrency fits worker
+heap), per-actor setup (codec tables, models) happens once in
+``__init__``.
+
+The image path is REAL (the deterministic pure-numpy codecs from
+``functions/image_codec``). Audio/video decode is STUBBED: the container
+ships no codec libraries, so ``codec="real"`` raises NotImplementedError
+while the default deterministic fake decoder exercises the full Ray-side
+plumbing — schema, actor signature, batch shapes, output layout — exactly
+as a production codec would.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _resize_nn(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbour resize, pure numpy (index-gather, vectorized)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+class ImageResizeStage:
+    """Decode -> resize -> re-encode thumbnails. Stateless per batch but
+    shipped as a callable class: production variants hold codec contexts
+    or GPU handles built once per actor."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32,
+                 out_fmt: str = "png"):
+        from ..functions import image_codec as ic
+        self.ic = ic
+        self.tw, self.th = target_w, target_h
+        self.out_fmt = out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs, ok = [], [], [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch.column("image_id")[i].as_py())
+            data = batch.column("bytes")[i].as_py()
+            try:
+                img, _fmt = self.ic.decode_image(data)
+                thumb = _resize_nn(img, self.tw, self.th)
+                blobs.append(self.ic.encode_image(thumb, self.out_fmt))
+                ws.append(thumb.shape[1])
+                hs.append(thumb.shape[0])
+                ok.append(True)
+            except Exception:
+                blobs.append(None)
+                ws.append(None)
+                hs.append(None)
+                ok.append(False)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "thumb": pa.array(blobs, pa.large_binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "ok": pa.array(ok, pa.bool_()),
+        })
+
+
+AUDIO_FEATURE_SCHEMA = pa.schema([
+    ("audio_id", pa.string()),
+    ("n_samples", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("features", pa.list_(pa.float32())),   # frame-level energy bands
+])
+
+
+class AudioFeatureStage:
+    """Audio bytes -> frame features. ``codec="fake"`` (default) derives a
+    deterministic pseudo-waveform from the payload hash so the pipeline
+    shape is fully testable; ``codec="real"`` is the integration point for
+    an actual decoder (not available in this container)."""
+
+    def __init__(self, codec: str = "fake", n_bands: int = 8,
+                 sample_rate: int = 16_000):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+        self.n_bands = n_bands
+        self.sample_rate = sample_rate
+
+    def _decode(self, data: bytes) -> np.ndarray:
+        if self.codec == "real":
+            raise NotImplementedError(
+                "no audio codec library in this environment; plug a real "
+                "decoder here (bytes -> float32 waveform)")
+        seed = int.from_bytes(
+            hashlib.blake2b(data, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        n = 1 + (seed % 4096)
+        return rng.standard_normal(n).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, feats = [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch.column("audio_id")[i].as_py())
+            wave = self._decode(batch.column("bytes")[i].as_py())
+            ns.append(len(wave))
+            bands = np.array_split(wave, self.n_bands)
+            feats.append([float(np.sqrt(np.mean(b * b))) if len(b) else 0.0
+                          for b in bands])
+        return pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "sample_rate": pa.array([self.sample_rate] * len(ids),
+                                    pa.int32()),
+            "features": pa.array(feats, pa.list_(pa.float32())),
+        }, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = pa.schema([
+    ("video_id", pa.string()),
+    ("frame_idx", pa.int32()),
+    ("frame", pa.large_binary()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+])
+
+
+class VideoFrameSampleStage:
+    """Video bytes -> every ``stride``-th frame as an encoded image row
+    (1 input row -> N output rows: the flat-map shape). Fake codec derives
+    deterministic frames from the payload hash; ``codec="real"`` raises
+    NotImplementedError (no video library in this container)."""
+
+    def __init__(self, codec: str = "fake", stride: int = 10,
+                 frame_w: int = 16, frame_h: int = 12, out_fmt: str = "bmp"):
+        from ..functions import image_codec as ic
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.ic = ic
+        self.codec = codec
+        self.stride = stride
+        self.fw, self.fh = frame_w, frame_h
+        self.out_fmt = out_fmt
+
+    def _frames(self, data: bytes):
+        if self.codec == "real":
+            raise NotImplementedError(
+                "no video codec library in this environment; plug a real "
+                "demuxer+decoder here (bytes -> iterator of frames)")
+        seed = int.from_bytes(
+            hashlib.blake2b(data, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        n_frames = 1 + (seed % 60)
+        for idx in range(0, n_frames, self.stride):
+            yield idx, (rng.random((self.fh, self.fw, 3)) * 255
+                        ).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, frames, ws, hs = [], [], [], [], []
+        for i in range(batch.num_rows):
+            vid = batch.column("video_id")[i].as_py()
+            for idx, frame in self._frames(batch.column("bytes")[i].as_py()):
+                vids.append(vid)
+                idxs.append(idx)
+                frames.append(self.ic.encode_image(frame, self.out_fmt))
+                ws.append(frame.shape[1])
+                hs.append(frame.shape[0])
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame": pa.array(frames, pa.large_binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+        }, schema=VIDEO_FRAME_SCHEMA)
