@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL-checked)
         "doc_lang_dist": A.doc_lang_dist,
         "doc_token_counts": A.doc_token_counts,
+        "doc_bpe_token_counts": A.doc_bpe_token_counts,
         "doc_quality": A.doc_quality,
         "doc_exact_dedup": A.doc_exact_dedup,
         "url_canonicalize": A.url_canonicalize,
@@ -57,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": A.knn_ivf,
         # dedup / fingerprints / language (rows-only)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
+        "simhash_neardup": A.simhash_neardup,
+        "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
         "embedding_neardup": A.embedding_neardup,
         "doc_simhash": A.doc_simhash,
         "doc_fingerprints": A.doc_fingerprints,

@@ -131,3 +131,27 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:
         h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
         out.append((bi, int.from_bytes(h, "big", signed=True)))
     return out
+
+
+# BPE-ish pre-tokenizer (GPT-2 style word/number/punct splitting with
+# leading-space attachment). ASCII classes only so the same pattern runs
+# verbatim in other regex engines (e.g. DuckDB's RE2 for the oracle).
+BPE_ISH_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+")
+BPE_ISH_PATTERN_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9[:space:]]+"
+
+
+def bpe_ish_token_count(text: str) -> int:
+    return len(BPE_ISH_RE.findall(text))
+
+
+def simhash_band_keys(code: int, bands: int = 4) -> list:
+    """Split a 64-bit SimHash into ``bands`` chunks; near-duplicates
+    (small Hamming distance) collide on at least one chunk."""
+    u = code & ((1 << 64) - 1)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [(bi, (u >> (bi * width)) & mask) for bi in range(bands)]
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

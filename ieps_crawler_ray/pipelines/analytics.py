@@ -497,6 +497,13 @@ ORACLE_SQL = {
         SELECT doc_id, LEN(regexp_extract_all(text, '\w+')) AS n_tokens
         FROM documents
     """,
+    "doc_bpe_token_counts": r"""
+        SELECT doc_id,
+               LEN(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9[:space:]]+'))
+                   AS n_bpe_tokens
+        FROM documents
+    """,
     "doc_quality": r"""
         SELECT doc_id,
                LEN(regexp_extract_all(text, '\w+')) AS n_words,
@@ -693,3 +700,116 @@ def knn_ivf(sf_dir: str, k: int = 3, n_queries: int = 5,
         for rank, (_, r) in enumerate(g.iterrows(), 1):
             out.append((q, rank, int(r["neighbor_id"])))
     return pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id"])
+
+
+def doc_bpe_token_counts(sf_dir: str):
+    """Token counting with a BPE-ish pre-tokenizer regex (GPT-2-style
+    word/number/punct split, ASCII classes so the DuckDB oracle runs the
+    identical pattern)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = [T.bpe_ish_token_count(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4):
+    """SimHash near-dup pairs: 64-bit code -> band blocking -> exact
+    Hamming verify. With max_hamming < bands the blocking is LOSSLESS by
+    pigeonhole (<= bands-1 differing bits leave at least one band
+    identical), so this finds EVERY pair within the distance — the same
+    two-phase candidate/verify shape as MinHash-LSH but over bit-sampled
+    fingerprints."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def codes(batch: pa.Table) -> pa.Table:
+        ids, band_is, band_hs, cds = [], [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            c = T.simhash64(t)
+            for bi, bh in T.simhash_band_keys(c, bands):
+                ids.append(i)
+                band_is.append(bi)
+                band_hs.append(bh)
+                cds.append(c)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "band_i": pa.array(band_is, pa.int32()),
+                         "band_h": pa.array(band_hs, pa.int64()),
+                         "code": pa.array(cds, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(g["doc_id"], g["code"])))
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        codes = np.array([r[1] for r in rows], dtype=np.int64) \
+            .view(np.uint64)
+        # vectorized pairwise Hamming: XOR matrix -> byte-wise popcount
+        x = codes[:, None] ^ codes[None, :]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                            axis=2).sum(axis=2)
+        ai, bj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
+
+    cand = ds.map_batches(codes, batch_format="pyarrow") \
+        .groupby(["band_i", "band_h"]).map_groups(pairs,
+                                                  batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands")).select_columns(["doc_a", "doc_b"])
+
+
+def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
+                          sample_mod: int = 4):
+    """n-gram Jaccard near-dup via a shingle inverted index: each doc
+    posts a deterministic sample of its shingle hashes (h % sample_mod ==
+    0 — the same shingles for every doc, so co-sampling is consistent),
+    the bucket groupby yields candidate pairs, exact Jaccard verifies.
+    The explicit-inverted-index counterpart of the MinHash pipeline."""
+    import zlib
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def post(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for s in T.word_shingles(t):
+                h = zlib.crc32(s.encode())
+                if h % sample_mod == 0:
+                    ids.append(i)
+                    keys.append(h)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingle_h": pa.array(keys, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        out_a, out_b = [], []
+        if len(ids) <= 20:   # skip degenerate huge buckets (stopword-ish)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = ds.map_batches(post, batch_format="pyarrow") \
+        .groupby("shingle_h").map_groups(pairs, batch_format="pandas") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
+
+    texts = pd.read_parquet(_pq(sf_dir, "documents"),
+                            columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = ray.get(texts_ref)
+        keep = []
+        for _, r in batch.iterrows():
+            ja = T.jaccard(T.word_shingles(txt[r["doc_a"]]),
+                           T.word_shingles(txt[r["doc_b"]]))
+            keep.append(ja >= threshold)
+        return batch[pd.Series(keep, index=batch.index)][["doc_a", "doc_b"]]
+
+    return cand.map_batches(verify, batch_format="pandas")
