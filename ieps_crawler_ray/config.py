@@ -29,12 +29,6 @@ class CrawlConfig:
     # target_max_block_size during the crawl execution; scheduled rows are
     # ~170 B so this keeps one or two chunks per block
     target_block_bytes: int = 256 * 1024
-    # target rows per block entering the domain shuffle — the unit of fetch
-    # parallelism (each block becomes one fetch task; ~512 rows × ~2.5 ms
-    # of fetch+decode ≈ 1.3 s per task, long enough to amortize task
-    # dispatch, short enough to load-balance across the pool)
-    target_partition_rows: int = 512
-    max_round_partitions: int = 256
     # number of domain-hash partitions the frontier is written in
     # (dpart = blake2b(domain) % P). The shuffle happens at WRITE time
     # (parse writes hive-partitioned parquet); each round then reads one

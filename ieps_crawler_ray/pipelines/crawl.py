@@ -27,7 +27,6 @@ import json
 import os
 import shutil
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -37,7 +36,6 @@ import ray.data as rd
 
 from ..config import CrawlConfig
 from ..functions.canonical import canonicalize, extract_domain
-from ..functions.hashing import url_hash128_many
 from ..state.actors import make_actor_pools, shard_of_str
 from ..stages.crawl_stages import (candidate_rows_for_urls, make_fetch_fn,
                                    make_schedule_fn, make_seen_robots_fn)

@@ -30,10 +30,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..functions.canonical import canonicalize
 from ..functions.extract import MIME_TO_DATA_TYPE, extract_page
-from ..functions.fetchclass import (PT_DISALLOWED, PT_HTML, classify_fetch,
-                                    fetch_ok_for_extraction)
+from ..functions.fetchclass import PT_DISALLOWED, PT_HTML, classify_fetch
 from ..functions.hashing import url_hash128_many
 from ..functions.schedule import (KIND_DATA, KIND_HTML, KIND_IMAGE,
                                   schedule_batch_df)
