@@ -130,3 +130,34 @@ def test_resume_identical(world, oracle, ray_session):
     o_links = set(map(tuple, oracle["links"].to_pandas().values))
     e_links = set(map(tuple, C.read_links(out2).to_pandas().values))
     assert o_links == e_links
+
+
+def test_resume_after_mid_round_crash(world, oracle, ray_session):
+    """Crash MID-round: partial fetched/frontier files exist for the
+    in-flight round but no manifest — resume must discard the partial
+    round, redo it, and still match the oracle exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out3 = "/tmp/ieps_test_crawl_crash"
+    shutil.rmtree(out3, ignore_errors=True)
+    C.run_crawl(world, CrawlConfig(out_dir=out3, seeds=list(world.seeds),
+                                   max_rounds=2))
+    # simulate a crash during round 2: partial (garbage) outputs, no manifest
+    part = os.path.join(out3, "rounds", "gen=2", "fetched")
+    os.makedirs(part, exist_ok=True)
+    pq.write_table(pa.table({"junk": pa.array([1, 2, 3])}),
+                   os.path.join(part, "partial.parquet"))
+    fpart = os.path.join(out3, "frontier", "gen=3", "dpart=0")
+    os.makedirs(fpart, exist_ok=True)
+    pq.write_table(pa.table({"junk": pa.array([9])}),
+                   os.path.join(fpart, "partial.parquet"))
+
+    C.run_crawl(world, CrawlConfig(out_dir=out3, seeds=list(world.seeds)),
+                resume=True)
+    e = C.read_pages(out3).to_pandas()
+    _assert_frames_equal(
+        oracle["pages"].to_pandas(), e, ["url"],
+        ["page_type", "http_status", "content_hash", "seq", "fetch_time"])
