@@ -338,22 +338,38 @@ def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
         .groupby(["band_i", "band_h"]) \
         .map_groups(pairs, batch_format="pandas")
     cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"))
+        Count(alias_name="n_bands")).select_columns(["doc_a", "doc_b"])
+    return _verify_jaccard_pairs(sf_dir, cand, threshold)
 
-    texts = pd.read_parquet(_pq(sf_dir, "documents"),
-                            columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
+    Texts are attached via two partitioned hash JOINS against the
+    documents table — the candidate side is small but the corpus is not,
+    so a full-corpus broadcast would be wrong at scale."""
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    j1 = cand.join(docs, join_type="inner", num_partitions=8,
+                   on=("doc_a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            [{"text": "text_a"}.get(c, c) for c in b.column_names]),
+        batch_format="pyarrow")
+    j2 = j1.join(docs, join_type="inner", num_partitions=8,
+                 on=("doc_b",), right_on=("doc_id",))
+    j2 = j2.map_batches(
+        lambda b: b.rename_columns(
+            [{"text": "text_b"}.get(c, c) for c in b.column_names]),
+        batch_format="pyarrow")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        txt = ray.get(texts_ref)
-        keep = []
-        for _, r in batch.iterrows():
-            ja = T.jaccard(T.word_shingles(txt[r["doc_a"]]),
-                           T.word_shingles(txt[r["doc_b"]]))
-            keep.append(ja >= threshold)
-        return batch[pd.Series(keep, index=batch.index)][["doc_a", "doc_b"]]
+        keep = [T.jaccard(T.word_shingles(ta), T.word_shingles(tb))
+                >= threshold
+                for ta, tb in zip(batch["text_a"], batch["text_b"])]
+        out = batch[pd.Series(keep, index=batch.index)][["doc_a", "doc_b"]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64"})
 
-    return cand.map_batches(verify, batch_format="pandas")
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.9, planes: int = 12):
@@ -797,19 +813,6 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
 
     cand = ds.map_batches(post, batch_format="pyarrow") \
         .groupby("shingle_h").map_groups(pairs, batch_format="pandas") \
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
-
-    texts = pd.read_parquet(_pq(sf_dir, "documents"),
-                            columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        txt = ray.get(texts_ref)
-        keep = []
-        for _, r in batch.iterrows():
-            ja = T.jaccard(T.word_shingles(txt[r["doc_a"]]),
-                           T.word_shingles(txt[r["doc_b"]]))
-            keep.append(ja >= threshold)
-        return batch[pd.Series(keep, index=batch.index)][["doc_a", "doc_b"]]
-
-    return cand.map_batches(verify, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared")) \
+        .select_columns(["doc_a", "doc_b"])
+    return _verify_jaccard_pairs(sf_dir, cand, threshold)
