@@ -288,7 +288,8 @@ def doc_fingerprints(sf_dir: str):
 
 def doc_simhash(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         override_num_blocks=32)
 
     def fn(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -309,8 +310,11 @@ def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
     """MinHash + LSH near-dup: shingle→signature→band explode→band-bucket
     groupby→candidate pairs→exact Jaccard verify (guide pattern)."""
     a, b = T.minhash_params(num_perm)
+    # per-doc shingling dominates: spread the read over many blocks so the
+    # signature stage parallelizes (one task per block)
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         override_num_blocks=32)
 
     def sigs(batch: pa.Table) -> pa.Table:
         doc_ids, band_is, band_hs = [], [], []
@@ -741,7 +745,8 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4):
     two-phase candidate/verify shape as MinHash-LSH but over bit-sampled
     fingerprints."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         override_num_blocks=32)
 
     def codes(batch: pa.Table) -> pa.Table:
         ids, band_is, band_hs, cds = [], [], [], []
@@ -787,7 +792,8 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
     import zlib
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         override_num_blocks=32)
 
     def post(batch: pa.Table) -> pa.Table:
         ids, keys = [], []
