@@ -52,7 +52,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": A.url_canonicalize,
         # joins / windows (SQL-checked)
         "revenue_by_orderpriority": A.revenue_by_orderpriority,
+        "customer_order_counts": A.customer_order_counts,
+        "suppliers_by_region": A.suppliers_by_region,
         "user_value_running_sum": A.user_value_running_sum,
+        # catalog / date / quantile aggregates (SQL-checked)
+        "parts_by_brand": A.parts_by_brand,
+        "part_type_diversity": A.part_type_diversity,
+        "lineitem_monthly_volume": A.lineitem_monthly_volume,
+        "events_value_quantiles": A.events_value_quantiles,
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,

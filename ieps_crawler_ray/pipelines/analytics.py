@@ -545,6 +545,41 @@ ORACLE_SQL = {
                LOWER(source) || '.gov.si' AS domain
         FROM documents
     """,
+    "parts_by_brand": """
+        SELECT p_brand, COUNT(*) AS n_parts,
+               ROUND(AVG(p_retailprice), 2) AS avg_price
+        FROM part GROUP BY p_brand
+    """,
+    "part_type_diversity": """
+        SELECT p_brand, COUNT(DISTINCT p_type) AS n_types
+        FROM part GROUP BY p_brand
+    """,
+    "suppliers_by_region": """
+        SELECT r_name, COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "customer_order_counts": """
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "lineitem_monthly_volume": """
+        SELECT CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS BIGINT)
+                   AS ship_month,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY 1
+    """,
+    "events_value_quantiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
     "revenue_by_orderpriority": """
         SELECT o_orderpriority, COUNT(*) AS n_items,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -822,3 +857,103 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
         .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared")) \
         .select_columns(["doc_a", "doc_b"])
     return _verify_jaccard_pairs(sf_dir, cand, threshold)
+
+
+def parts_by_brand(sf_dir: str):
+    """Catalog aggregate over `part` (count + mean price per brand)."""
+    from ray.data.aggregate import Mean
+    out = rd.read_parquet(_pq(sf_dir, "part"),
+                          columns=["p_brand", "p_retailprice"]) \
+        .groupby("p_brand").aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price")).to_pandas()
+    out["avg_price"] = out["avg_price"].round(2)
+    return out[["p_brand", "n_parts", "avg_price"]]
+
+
+def part_type_diversity(sf_dir: str):
+    """count-distinct p_type per brand (two-level groupby, exact)."""
+    return rd.read_parquet(_pq(sf_dir, "part"),
+                           columns=["p_brand", "p_type"]) \
+        .groupby(["p_brand", "p_type"]).aggregate(Count(alias_name="c")) \
+        .groupby("p_brand").aggregate(Count(alias_name="n_types"))
+
+
+def suppliers_by_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region via broadcast tiny sides (two-hop
+    dimension lookup, J3 pattern)."""
+    nation = pd.read_parquet(_pq(sf_dir, "nation"))
+    region = pd.read_parquet(_pq(sf_dir, "region"))
+    n_to_r = dict(zip(nation["n_nationkey"],
+                      nation["n_regionkey"].map(
+                          dict(zip(region["r_regionkey"],
+                                   region["r_name"])))))
+    lookup_ref = ray.put(n_to_r)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        return pd.DataFrame({"r_name": batch["s_nationkey"].map(lk),
+                             "s_acctbal": batch["s_acctbal"]})
+
+    out = rd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_nationkey", "s_acctbal"]) \
+        .map_batches(tag, batch_format="pandas") \
+        .groupby("r_name").aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="total_acctbal")).to_pandas()
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    return out[["r_name", "n_suppliers", "total_acctbal"]]
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join: every customer with its order count, INCLUDING
+    zero-order customers (the outer-join operator the reference lacks)."""
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderkey"])
+    j = cust.join(orders, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def cnt(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("c_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "count"))
+
+    return j.map_batches(cnt, batch_format="pandas") \
+        .groupby("c_custkey").aggregate(Sum("n_orders",
+                                            alias_name="n_orders"))
+
+
+def lineitem_monthly_volume(sf_dir: str):
+    """Date-truncated aggregate: shipped quantity per calendar month."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_quantity"])
+
+    def month_key(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        ym = pc.add(pc.multiply(pc.year(d), 100), pc.month(d))
+        return pa.table({"ship_month": ym.cast(pa.int64()),
+                         "l_quantity": batch.column("l_quantity")})
+
+    out = ds.map_batches(month_key, batch_format="pyarrow") \
+        .groupby("ship_month").aggregate(
+            Count(alias_name="n_items"),
+            Sum("l_quantity", alias_name="total_qty")).to_pandas()
+    out["total_qty"] = out["total_qty"].round(2)
+    return out[["ship_month", "n_items", "total_qty"]]
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-type value quantiles (sorted-group numpy 'linear'
+    interpolation == SQL quantile_cont)."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [round(float(np.quantile(v, 0.5)), 4)],
+            "p90": [round(float(np.quantile(v, 0.9)), 4)],
+            "p99": [round(float(np.quantile(v, 0.99)), 4)]})
+
+    return ev.groupby("event_type").map_groups(q, batch_format="pandas")
