@@ -418,9 +418,13 @@ def knn_cosine(sf_dir: str, k: int = 3, n_queries: int = 5):
     per-batch float64 matmul partial top-k, tiny driver-side merge."""
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    qdf = pd.read_parquet(_pq(sf_dir, "embeddings"),
-                          columns=["vec_id", "embedding"])
-    qdf = qdf[qdf["vec_id"] < n_queries].sort_values("vec_id")
+    # query matrix: row-group-pruned read of just the query ids — never
+    # pull the full embedding table onto the driver
+    import pyarrow.dataset as pads
+    qdf = pads.dataset(_pq(sf_dir, "embeddings"), format="parquet") \
+        .to_table(columns=["vec_id", "embedding"],
+                  filter=pc.field("vec_id") < n_queries).to_pandas() \
+        .sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ids = qdf["vec_id"].to_numpy()
@@ -686,10 +690,14 @@ def knn_ivf(sf_dir: str, k: int = 3, n_queries: int = 5,
     With n_probe == n_list the result is exact (same oracle as
     knn_cosine); production at 10^10 rows uses n_probe << n_list so each
     query touches a small fraction of the lists."""
+    import pyarrow.dataset as pads
+
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    sample = pd.read_parquet(_pq(sf_dir, "embeddings"),
-                             columns=["vec_id", "embedding"])
+    # k-means training sample: a bounded LIMIT read, not the full table
+    # (at 10^10 rows the coarse quantizer trains on a tiny fraction)
+    sample = pads.dataset(_pq(sf_dir, "embeddings"), format="parquet") \
+        .head(50_000, columns=["vec_id", "embedding"]).to_pandas()
     M = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     M = M / np.linalg.norm(M, axis=1, keepdims=True)
 
