@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_spend": A.top_customers_by_spend,
         "events_type_stats": A.events_type_stats,
         "events_hourly_activity": A.events_hourly_activity,
+        "events_sliding_window": A.events_sliding_window,
+        "events_type_stats_salted": A.events_type_stats_salted,
         "events_distinct_users": A.events_distinct_users,
         "user_sessions": A.user_sessions,
         # text analysis (SQL-checked)

@@ -577,6 +577,21 @@ ORACLE_SQL = {
                ROUND(SUM(l_quantity), 2) AS total_qty
         FROM lineitem GROUP BY 1
     """,
+    "events_sliding_window": """
+        SELECT event_type,
+               CAST(FLOOR(EPOCH(ts) / 3600) * 3600 - 3600 * k AS BIGINT)
+                   AS window_start,
+               COUNT(*) AS n
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k)
+        GROUP BY 1, 2
+    """,
+    "events_type_stats_salted": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY event_type
+    """,
     "events_value_quantiles": """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 4) AS p50,
@@ -965,3 +980,57 @@ def events_value_quantiles(sf_dir: str):
             "p99": [round(float(np.quantile(v, 0.99)), 4)]})
 
     return ev.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
+def events_sliding_window(sf_dir: str, size_s: int = 3 * 3600,
+                          slide_s: int = 3600):
+    """Sliding window counts (3 h window advancing hourly): each event
+    posts to size/slide window keys inside map_batches (vectorized
+    explode), then one groupby — the streaming-shaped sliding aggregate
+    as a batch pipeline."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts"])
+    k = size_s // slide_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        hour = (us // (slide_s * 1_000_000)) * slide_s
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        starts = (hour[:, None] - np.arange(k)[None, :] * slide_s).ravel()
+        ets = np.repeat(et, k)
+        return pa.table({"event_type": pa.array(ets),
+                         "window_start": pa.array(starts, pa.int64())})
+
+    return ev.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Count(alias_name="n"))
+
+
+def events_type_stats_salted(sf_dir: str, n_salts: int = 16):
+    """Same result as ``events_type_stats`` computed skew-proof: a salt
+    key spreads each hot group over ``n_salts`` partial groups before the
+    shuffle, and a second tiny groupby merges the partials — the
+    hot-key-salting pattern for power-law group sizes."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def salt_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            salt=np.arange(len(batch), dtype=np.int64) % n_salts)
+        return batch.groupby(["event_type", "salt"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum"),
+            min_value=("value", "min"), max_value=("value", "max"))
+
+    out = ev.map_batches(salt_partial, batch_format="pandas") \
+        .groupby(["event_type", "salt"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value")) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_value", alias_name="sum_value"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value")).to_pandas()
+    for c in ("sum_value", "min_value", "max_value"):
+        out[c] = out[c].round(2)
+    return out[["event_type", "n", "sum_value", "min_value", "max_value"]]
