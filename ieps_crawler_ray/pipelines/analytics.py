@@ -19,7 +19,6 @@ URL canonicalization (M1/M2) and the crawl flagship itself.
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 import pandas as pd
