@@ -17,11 +17,20 @@ from ieps_crawler_ray.sources.synthetic_web import SyntheticWeb, WorldConfig
 OUT = "/tmp/ieps_test_crawl"
 
 
-@pytest.fixture(scope="module")
-def world():
-    corpus = build_corpus_rows(60)
-    cfg = WorldConfig(n_domains=5, total_pages=60, n_corpus=60, seed=42,
-                      n_seeds=3)
+_WORLDS = {
+    "w42": WorldConfig(n_domains=5, total_pages=60, n_corpus=60, seed=42,
+                       n_seeds=3),
+    # different RNG universe: other robots/sitemap mix, stronger skew,
+    # more domains than seeds (exercises cross-domain discovery harder)
+    "w7": WorldConfig(n_domains=9, total_pages=90, n_corpus=40, seed=7,
+                      zipf_s=1.6, n_seeds=2),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(_WORLDS))
+def world(request):
+    cfg = _WORLDS[request.param]
+    corpus = build_corpus_rows(cfg.n_corpus)
     return SyntheticWeb(cfg, corpus)
 
 
