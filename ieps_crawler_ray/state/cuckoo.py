@@ -73,12 +73,41 @@ class CuckooFilter:
         return hit
 
     def add_many(self, keys: np.ndarray) -> None:
+        """Vectorized fast path: free-slot placement into bucket 1 then
+        bucket 2, slot by slot, first-wins per bucket per pass; only the
+        rare overflow keys fall back to the per-key kick loop."""
         keys = keys.astype(np.uint64, copy=False)
-        fp = self._fp(keys)
-        i1 = self._i1(keys)
-        i2 = self._i2(i1, fp)
+        fp_all = self._fp(keys)
+        i1_all = self._i1(keys)
+        i2_all = self._i2(i1_all, fp_all)
         t = self.table
-        for j in range(len(keys)):
+        pending = np.arange(len(keys))
+        for bucket_of in (i1_all, i2_all):
+            if not len(pending):
+                break
+            for s in range(4):
+                if not len(pending):
+                    break
+                b = bucket_of[pending]
+                free = t[b, s] == _EMPTY
+                cand = np.nonzero(free)[0]
+                if not cand.size:
+                    continue
+                # first candidate per bucket wins this pass (no write race)
+                _ub, first = np.unique(b[cand], return_index=True)
+                chosen = cand[first]
+                t[b[chosen], s] = fp_all[pending[chosen]]
+                keep = np.ones(len(pending), dtype=bool)
+                keep[chosen] = False
+                pending = pending[keep]
+        self.count += len(keys) - len(pending)
+        if not len(pending):
+            return
+        # slow path: cuckoo kicks for the overflow stragglers
+        fp = fp_all
+        i1 = i1_all
+        i2 = i2_all
+        for j in pending:
             f = fp[j]
             a, b = int(i1[j]), int(i2[j])
             placed = False
@@ -158,22 +187,56 @@ class BloomFilter:
 
 class SeenShard:
     """Exact 128-bit membership with cuckoo fast path and bloom-guarded
-    sorted spill runs (see module docstring)."""
+    sorted spill runs (see module docstring). The hot tier is a list of
+    appended numpy chunks with a lazily built lexsorted cache — no
+    per-key Python objects anywhere on the add path. ``len()`` counts
+    keys as added (callers pass pre-deduplicated batches — the engine's
+    gate and ``contains_and_add`` guarantee it; a task-retry re-add can
+    only inflate this metric, never membership answers)."""
 
     def __init__(self, capacity_hint: int = 1 << 16, hot_limit: int = 1 << 18):
         self.cuckoo = CuckooFilter(capacity_hint)
-        self.hot: set = set()            # (h1, h2) recent exact keys
+        self.hot_chunks: list = []       # [(h1 np.int64, h2 np.int64)]
+        self.hot_rows = 0
+        self._hot_cache = None           # lexsorted (s1, s2) or None
         self.runs: list = []             # [(sorted_h1, h2_parallel, bloom)]
         self.hot_limit = hot_limit
         self.n = 0
 
+    # -- sorted-pair membership helper -----------------------------------
+
+    @staticmethod
+    def _pairs_in_sorted(s1, s2, h1, h2, out, todo) -> None:
+        """Mark ``out`` True for (h1,h2) pairs present in the lexsorted
+        (s1,s2); only rows where ``todo`` is True are probed."""
+        idx = np.nonzero(todo)[0]
+        if not idx.size:
+            return
+        lo = np.searchsorted(s1, h1[idx], side="left")
+        hi = np.searchsorted(s1, h1[idx], side="right")
+        hit_rows = np.nonzero(hi > lo)[0]
+        for r in hit_rows:           # rows whose h1 exists (rare for cold)
+            j = idx[r]
+            a, b = int(lo[r]), int(hi[r])
+            p = a + int(np.searchsorted(s2[a:b], h2[j]))
+            if p < b and s2[p] == h2[j]:
+                out[j] = True
+                todo[j] = False
+
+    def _hot_sorted(self):
+        if self._hot_cache is None and self.hot_chunks:
+            a1 = np.concatenate([c[0] for c in self.hot_chunks])
+            a2 = np.concatenate([c[1] for c in self.hot_chunks])
+            order = np.lexsort((a2, a1))
+            self._hot_cache = (a1[order], a2[order])
+        return self._hot_cache
+
     def _exact_contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         out = np.zeros(len(h1), dtype=bool)
-        hot = self.hot
-        for j in range(len(h1)):
-            if (h1[j], h2[j]) in hot:
-                out[j] = True
-        todo = ~out
+        todo = np.ones(len(h1), dtype=bool)
+        hot = self._hot_sorted()
+        if hot is not None:
+            self._pairs_in_sorted(hot[0], hot[1], h1, h2, out, todo)
         for s1, s2, bloom in self.runs:
             if not todo.any():
                 break
@@ -182,15 +245,12 @@ class SeenShard:
             cand = idx[maybe]
             if cand.size == 0:
                 continue
-            pos = np.searchsorted(s1, h1[cand])
-            for j, p in zip(cand, pos):
-                p = int(p)
-                while p < len(s1) and s1[p] == h1[j]:
-                    if s2[p] == h2[j]:
-                        out[j] = True
-                        todo[j] = False
-                        break
-                    p += 1
+            sub = np.zeros(len(h1), dtype=bool)
+            subtodo = np.zeros(len(h1), dtype=bool)
+            subtodo[cand] = True
+            self._pairs_in_sorted(s1, s2, h1, h2, sub, subtodo)
+            out |= sub
+            todo &= ~sub
         return out
 
     def contains_many(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -215,11 +275,11 @@ class SeenShard:
                 bigger.add_many(snap["h1"].view(np.uint64))
             self.cuckoo = bigger
         self.cuckoo.add_many(h1.view(np.uint64))
-        for a, b in zip(h1.tolist(), h2.tolist()):
-            if (a, b) not in self.hot:
-                self.hot.add((a, b))
-                self.n += 1
-        if len(self.hot) > self.hot_limit:
+        self.hot_chunks.append((h1.copy(), h2.copy()))
+        self.hot_rows += len(h1)
+        self._hot_cache = None
+        self.n += len(h1)
+        if self.hot_rows > self.hot_limit:
             self._compact()
 
     def contains_and_add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -229,36 +289,51 @@ class SeenShard:
         h2 = np.asarray(h2, dtype=np.int64)
         seen = self.contains_many(h1, h2)
         new = np.zeros(len(h1), dtype=bool)
-        batch_seen: set = set()
-        for j in range(len(h1)):
-            if seen[j]:
-                continue
-            key = (h1[j], h2[j])
-            if key in batch_seen:
-                continue
-            batch_seen.add(key)
-            new[j] = True
+        cand = np.nonzero(~seen)[0]
+        if cand.size:
+            # first occurrence per (h1,h2) pair wins, in input order:
+            # lexsort with the original index as the last tie-break key
+            o = np.lexsort((cand, h2[cand], h1[cand]))
+            ch1, ch2, ci = h1[cand][o], h2[cand][o], cand[o]
+            first = np.ones(len(ci), dtype=bool)
+            first[1:] = (np.diff(ch1) != 0) | (ch2[1:] != ch2[:-1])
+            new[ci[first]] = True
         if new.any():
             self.add_many(h1[new], h2[new])
         return new
 
     def _compact(self) -> None:
-        arr = np.array(sorted(self.hot), dtype=np.int64).reshape(-1, 2)
-        s1 = np.ascontiguousarray(arr[:, 0])
-        s2 = np.ascontiguousarray(arr[:, 1])
-        bloom = BloomFilter(len(s1))
+        hot = self._hot_sorted()
+        if hot is None:
+            return
+        s1, s2 = hot
+        # vectorized dedup of the sorted chunk (retry re-adds collapse)
+        if len(s1):
+            keep = np.ones(len(s1), dtype=bool)
+            keep[1:] = (np.diff(s1) != 0) | (s2[1:] != s2[:-1])
+            self.n -= int((~keep).sum())
+            s1, s2 = s1[keep], s2[keep]
+        bloom = BloomFilter(max(1, len(s1)))
         bloom.add_many(s1.view(np.uint64))
-        self.runs.append((s1, s2, bloom))
-        self.hot = set()
-        # merge runs when too many (logarithmic tiering)
-        if len(self.runs) > 8:
-            a1 = np.concatenate([r[0] for r in self.runs])
-            a2 = np.concatenate([r[1] for r in self.runs])
+        self.runs.append((np.ascontiguousarray(s1),
+                          np.ascontiguousarray(s2), bloom))
+        self.hot_chunks = []
+        self.hot_rows = 0
+        self._hot_cache = None
+        # size-tiered merging (LSM-style): repeatedly merge the two
+        # smallest runs — amortized O(N log N) total merge work, unlike a
+        # merge-everything policy which is quadratic in the long run
+        while len(self.runs) > 8:
+            self.runs.sort(key=lambda r: len(r[0]))
+            a = self.runs.pop(0)
+            b = self.runs.pop(0)
+            a1 = np.concatenate([a[0], b[0]])
+            a2 = np.concatenate([a[1], b[1]])
             order = np.lexsort((a2, a1))
             s1, s2 = a1[order], a2[order]
             bloom = BloomFilter(len(s1))
             bloom.add_many(s1.view(np.uint64))
-            self.runs = [(s1, s2, bloom)]
+            self.runs.append((s1, s2, bloom))
 
     def __len__(self) -> int:
         return self.n
@@ -267,10 +342,10 @@ class SeenShard:
         """Checkpointable state: exact keys only (filters are rebuilt)."""
         parts1 = [r[0] for r in self.runs]
         parts2 = [r[1] for r in self.runs]
-        if self.hot:
-            arr = np.array(sorted(self.hot), dtype=np.int64).reshape(-1, 2)
-            parts1.append(np.ascontiguousarray(arr[:, 0]))
-            parts2.append(np.ascontiguousarray(arr[:, 1]))
+        hot = self._hot_sorted()
+        if hot is not None:
+            parts1.append(hot[0])
+            parts2.append(hot[1])
         h1 = np.concatenate(parts1) if parts1 else np.empty(0, np.int64)
         h2 = np.concatenate(parts2) if parts2 else np.empty(0, np.int64)
         return {"h1": h1, "h2": h2}
