@@ -345,11 +345,41 @@ def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
     return _verify_jaccard_pairs(sf_dir, cand, threshold)
 
 
-def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float):
+# broadcast-vs-shuffle-join threshold for attaching texts to candidate
+# pairs: below this file size the corpus rides the object store once
+# (cheap lookup per task); above it, two partitioned hash joins (never
+# broadcast a big table)
+_BROADCAST_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float,
+                          strategy: str = "auto"):
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
-    Texts are attached via two partitioned hash JOINS against the
-    documents table — the candidate side is small but the corpus is not,
-    so a full-corpus broadcast would be wrong at scale."""
+    ``strategy``: "broadcast" ships the corpus once via ray.put (small
+    tables), "join" attaches texts through two partitioned hash joins
+    (the only correct plan at corpus scale), "auto" picks by file size —
+    the adaptive join selection a planner would do."""
+    if strategy == "auto":
+        small = os.path.getsize(_pq(sf_dir, "documents")) \
+            < _BROADCAST_LIMIT_BYTES
+        strategy = "broadcast" if small else "join"
+
+    if strategy == "broadcast":
+        texts = pd.read_parquet(_pq(sf_dir, "documents"),
+                                columns=["doc_id", "text"])
+        texts_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
+
+        def verify_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            txt = ray.get(texts_ref)
+            keep = [T.jaccard(T.word_shingles(txt[a]),
+                              T.word_shingles(txt[b])) >= threshold
+                    for a, b in zip(batch["doc_a"], batch["doc_b"])]
+            out = batch[pd.Series(keep, index=batch.index)][
+                ["doc_a", "doc_b"]]
+            return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
     docs = rd.read_parquet(_pq(sf_dir, "documents"),
                            columns=["doc_id", "text"])
     j1 = cand.join(docs, join_type="inner", num_partitions=8,
