@@ -131,14 +131,24 @@ def run_scaling() -> None:
     ±50% wall-time swings on identical runs); steady-state throughput over
     the heavy middle rounds is the less noisy signal."""
     levels = (2, 8, 32)
-    res = {}
-    for n in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_CRAWL_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        res[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+    res: dict = {}
+    all_trials: dict = {}
+    # interleave levels across trials so slow host phases hit every level
+    for t in range(trials):
+        for n in levels:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       BENCH_CRAWL_ONLY="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            all_trials.setdefault(n, []).append(r)
+            best = res.get(n)
+            if best is None or (r["fetched_urls_per_s"]
+                                > best["fetched_urls_per_s"]):
+                res[n] = r
 
     def eff(lo, hi, key):
         a, b = res[lo].get(key), res[hi].get(key)
@@ -166,9 +176,15 @@ def run_scaling() -> None:
             eff(2, 8, "steady_exec_fetched_urls_per_s"),
         "steady_exec_efficiency_8_to_32":
             eff(8, 32, "steady_exec_fetched_urls_per_s"),
-        "note": ("shared-VM host with CPU steal; steady state = rounds "
-                 "with >=5000 frontier candidates (ramp rounds excluded, "
-                 "negligible on a long-running crawl)"),
+        "trials_fetched_urls_per_s": {
+            str(n): [r["fetched_urls_per_s"] for r in rs]
+            for n, rs in all_trials.items()},
+        "note": ("shared-VM host with unpredictable CPU steal (identical "
+                 "runs vary +/-50%); best of "
+                 f"{trials} interleaved trials per level is reported, all "
+                 "trials listed. steady state = rounds with >=5000 "
+                 "frontier candidates (ramp rounds excluded, negligible "
+                 "on a long-running crawl)"),
     }))
 
 
