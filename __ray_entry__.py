@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": F.crawl_images,
         "crawl_page_data": F.crawl_page_data,
         "crawl_sites": F.crawl_sites,
+        "crawl_degrees": F.crawl_degrees,
         "crawl_statistics": F.crawl_statistics,
         "image_decode_stats": F.image_decode_stats,
         "image_thumbnails": F.image_thumbnails,

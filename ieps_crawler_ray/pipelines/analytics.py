@@ -542,7 +542,7 @@ ORACLE_SQL = {
                         THEN 1 ELSE 0 END AS new_sess
             FROM events)
         SELECT user_id, COUNT(*) AS n_events,
-               1 + SUM(new_sess) AS n_sessions
+               CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions
         FROM gaps GROUP BY user_id
     """,
     "doc_lang_dist": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",

@@ -34,14 +34,31 @@ _SCALES = {
 _DEFAULT_SCALE = (5, 60, 60, 3, 32, 128)
 
 
+def _generator_version() -> str:
+    """8-hex fingerprint of the corpus-generation code (cache-key token)."""
+    import hashlib
+
+    from ..functions import image_codec as _ic
+    from ..sources import corpus as _corpus
+
+    h = hashlib.blake2b(digest_size=4)
+    for mod in (_corpus, _ic):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def world_for_sf(sf_dir: str) -> SyntheticWeb:
     tier = os.path.basename(os.path.normpath(sf_dir))
     nd, tp, nc, ns, lo, hi = _SCALES.get(tier, _DEFAULT_SCALE)
     # the corpus build is deterministic — cache it on disk so repeated
     # bench processes (e.g. the three --scaling levels) skip the ~20 s
-    # encode pass
+    # encode pass. The cache key includes a hash of the generator SOURCE
+    # (corpus.py + image_codec.py) so editing the generation code never
+    # silently reuses a stale corpus.
     import pyarrow.parquet as pq
-    cache = f"/tmp/ieps_corpus_{tier}_{nc}_{lo}_{hi}_42.parquet"
+    cache = (f"/tmp/ieps_corpus_{tier}_{nc}_{lo}_{hi}_42_"
+             f"{_generator_version()}.parquet")
     try:
         corpus = pq.read_table(cache)
         assert corpus.num_rows == nc
@@ -110,6 +127,18 @@ def crawl_page_data(sf_dir: str):
         ["url", "domain", "parent_url", "seq", "is_duplicate",
          "downloaded", "content_type", "data_type"]).to_pandas()
     return pdata.sort_values(["domain", "seq"]).reset_index(drop=True)
+
+
+def crawl_degrees(sf_dir: str):
+    """A3 graph degree metrics (the reference computes these offline in
+    Gephi — ``report/report.tex:230-232``): out-degree per stored page
+    over the deduplicated link edges (one groupby shuffle)."""
+    from ray.data.aggregate import Count
+
+    deg = C.read_links(_crawled(sf_dir)) \
+        .groupby("parent_url").aggregate(Count(alias_name="out_degree")) \
+        .to_pandas()
+    return deg.sort_values("parent_url").reset_index(drop=True)
 
 
 def crawl_sites(sf_dir: str):

@@ -67,8 +67,14 @@ class CuckooFilter:
         t = self.table
         hit = (t[i1] == fp[:, None]).any(axis=1) | (t[i2] == fp[:, None]).any(axis=1)
         if self.stash:
+            # a stashed (fp, idx) records whichever bucket the kick loop
+            # last held — that is always ONE of the key's two buckets
+            # (every hop in the chain moves fp between its own pair), so
+            # probing BOTH (fp, i1) and (fp, i2) is exact: no false
+            # negatives even for entries stashed under the alternate bucket
             for j in np.nonzero(~hit)[0]:
-                if (int(fp[j]), int(i1[j])) in self.stash:
+                if (int(fp[j]), int(i1[j])) in self.stash or \
+                        (int(fp[j]), int(i2[j])) in self.stash:
                     hit[j] = True
         return hit
 

@@ -66,6 +66,21 @@ def test_seen_shard_snapshot_restore():
     assert not s2.contains_many(h1 + 1, h2).any()
 
 
+def test_cuckoo_stash_visible_from_both_buckets():
+    """A fingerprint stashed under a key's ALTERNATE bucket must still be
+    found: the kick loop stashes (fp, last_bucket) where last_bucket may be
+    i2, and contains_many probes both (fp, i1) and (fp, i2)."""
+    cf = CuckooFilter(capacity=256)
+    key = np.array([0xDEADBEEFCAFE1234], dtype=np.uint64)
+    fp = int(cf._fp(key)[0])
+    i1 = int(cf._i1(key)[0])
+    i2 = int(cf._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+    assert i1 != i2
+    for idx in (i1, i2):
+        cf.stash = {(fp, idx)}
+        assert cf.contains_many(key).all(), f"stash under bucket {idx} missed"
+
+
 def test_cuckoo_rebuild_on_overflow():
     s = SeenShard(capacity_hint=64, hot_limit=1 << 20)
     h1 = np.arange(5000, dtype=np.int64)
