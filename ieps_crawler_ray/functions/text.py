@@ -61,20 +61,31 @@ def _h64(s: str) -> int:
                         digest_size=8).digest(), "big")
 
 
+def _h64_md5(s: str) -> int:
+    """64-bit token hash matching DuckDB's ``md5_number_lower`` (bytes
+    8..16 of the MD5 digest, little-endian) — lets the SimHash SQL oracle
+    recompute identical codes."""
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:16],
+        "little")
+
+
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over word features."""
+    """Classic 64-bit SimHash over distinct word features. Token hash is
+    md5-derived (``_h64_md5``) so a SQL engine can recompute the codes
+    bit-for-bit: code bit k = sign of the +/-1 vote sum over bit k of
+    each distinct token's hash."""
     toks = TOKEN_RE.findall(text.lower())
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
-    bits = np.arange(63, -1, -1, dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
     for t in set(toks):
-        h = np.uint64(_h64(t))
+        h = np.uint64(_h64_md5(t))
         b = ((h >> bits) & np.uint64(1)).astype(np.int64)
         acc += 2 * b - 1
-    code = 0
-    for v in acc:
-        code = (code << 1) | int(v > 0)
+    code = int(((acc > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum())
     if code >= 1 << 63:
         code -= 1 << 64
     return code

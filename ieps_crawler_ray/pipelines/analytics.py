@@ -405,41 +405,70 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float,
     return j2.map_batches(verify, batch_format="pandas")
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.9, planes: int = 12):
-    """Embedding near-dup via random-hyperplane LSH buckets + in-bucket
-    cosine verify (the 'scale path' variant of similarity search)."""
+def embedding_neardup(sf_dir: str, threshold: float = 0.9,
+                      planes: int = 12, n_tables: int = 4):
+    """Embedding near-dup via MULTI-TABLE random-hyperplane LSH + in-bucket
+    exact-cosine verify (the 'scale path' variant of similarity search).
+
+    The raw synthetic embeddings contain no near-duplicate pairs, so the
+    query first PLANTS them deterministically (every ``vec_id % 20 == 0``
+    gains a companion ``vec_id + 1_000_000`` whose first coordinate is
+    shifted by +0.01 — cosine ~0.99995) and the DuckDB oracle mirrors the
+    same derivation, making the operator brute-force-checkable.
+
+    ``n_tables`` independent hyperplane tables drive recall: a near-dup
+    pair at angle theta is split by one 12-plane table with prob
+    ~12*theta/pi, but by ALL tables with that to the n_tables-th power.
+    Candidate pairs are deduped across tables with a groupby before the
+    exact verify, so precision is 1 and no pair is emitted twice."""
     rng = np.random.default_rng(11)
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     first = ds.take(1)
     dim = len(first[0]["embedding"])
-    R = rng.normal(size=(dim, planes))
+    R = rng.normal(size=(n_tables, dim, planes))
     R_ref = ray.put(R)
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        sel = ids % 20 == 0
+        Mp = M[sel].copy()
+        Mp[:, 0] += 0.01
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ids, ids[sel] + 1_000_000]),
+            "embedding": list(np.concatenate([M, Mp]))})
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
         Rm = ray.get(R_ref)
-        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        bits = (M @ Rm) > 0
-        keys = bits.dot(1 << np.arange(planes)).astype(np.int64)
-        return pd.DataFrame({"vec_id": batch["vec_id"], "bucket": keys,
-                             "embedding": batch["embedding"]})
+        M = np.stack(batch["embedding"].to_numpy())
+        outs = []
+        for t in range(n_tables):
+            bits = (M @ Rm[t]) > 0
+            keys = bits.dot(1 << np.arange(planes)).astype(np.int64)
+            outs.append(pd.DataFrame({
+                "vec_id": batch["vec_id"],
+                "bucket": keys + (t << 32),
+                "embedding": batch["embedding"]}))
+        return pd.concat(outs, ignore_index=True)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        M = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(g["embedding"].to_numpy())
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         sims = M @ M.T
         ids = g["vec_id"].to_numpy()
-        out_a, out_b = [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold and ids[i] != ids[j]:
-                    out_a.append(min(ids[i], ids[j]))
-                    out_b.append(max(ids[i], ids[j]))
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b})
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        va = np.minimum(ids[ai], ids[bj])
+        vb = np.maximum(ids[ai], ids[bj])
+        keep = va != vb
+        return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
 
-    return ds.map_batches(bucket, batch_format="pandas") \
-        .groupby("bucket").map_groups(verify, batch_format="pandas")
+    cand = ds.map_batches(plant, batch_format="pandas") \
+        .map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    # dedup across tables (a close pair collides in several)
+    return cand.groupby(["vec_a", "vec_b"]).aggregate(
+        Count(alias_name="n_tables")).select_columns(["vec_a", "vec_b"])
 
 
 def knn_cosine(sf_dir: str, k: int = 3, n_queries: int = 5):
@@ -492,6 +521,59 @@ def knn_cosine(sf_dir: str, k: int = 3, n_queries: int = 5):
 # ---------------------------------------------------------------------------
 # SQL oracles (DuckDB; views pre-registered by the driver)
 # ---------------------------------------------------------------------------
+
+# Brute-force exact near-dup oracle: pairwise word-3-shingle Jaccard >= 0.5
+# over ALL doc pairs (O(n^2) — fine at oracle scale; the engine's LSH /
+# inverted-index pipelines must reproduce it exactly because their exact-
+# Jaccard verify stage makes precision 1 and the planted near-dup pairs sit
+# far above the banding recall knee). Shingling matches functions/text.py:
+# \w+ tokens of lower(text), 3-word shingles joined by ' ', distinct.
+_JACCARD_PAIRS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.s) * 2 >= len(b.s) AND len(b.s) * 2 >= len(a.s)
+      AND len(list_intersect(a.s, b.s))
+          >= 0.5 * len(list_distinct(list_concat(a.s, b.s)))
+"""
+
+# SimHash codes recomputed in SQL: md5_number_lower(token) matches
+# functions/text.py:_h64_md5; code bit k = sign of the +/-1 vote sum over
+# bit k across distinct tokens; signed int64 via HUGEINT wraparound.
+_SIMHASH_CODES_SQL = r"""
+    toks AS (
+        SELECT doc_id,
+               list_distinct(regexp_extract_all(lower(text), '\w+')) AS w
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, md5_number_lower(t.t) AS h
+        FROM toks, UNNEST(w) AS t(t)
+    ),
+    bitv AS (
+        SELECT doc_id, bb.b AS b,
+               SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS b) bb
+        GROUP BY doc_id, bb.b
+    ),
+    codes AS (
+        SELECT doc_id,
+               bit_or(CASE WHEN s > 0
+                           THEN CAST(1 AS UBIGINT) << b
+                           ELSE CAST(0 AS UBIGINT) END) AS code_u
+        FROM bitv GROUP BY doc_id
+    )
+"""
 
 ORACLE_SQL = {
     "tpch_q1_pricing_summary": """
@@ -659,6 +741,39 @@ ORACLE_SQL = {
                            ORDER BY score DESC, neighbor_id) AS rank
                 FROM scored)
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+    """,
+    "minhash_lsh_neardup": _JACCARD_PAIRS_SQL,
+    "ngram_jaccard_neardup": _JACCARD_PAIRS_SQL,
+    "doc_simhash": "WITH " + _SIMHASH_CODES_SQL + """
+        SELECT doc_id,
+               CAST(CAST(code_u AS HUGEINT)
+                    - CASE WHEN code_u >= CAST(1 AS UBIGINT)
+                                          << CAST(63 AS BIGINT)
+                           THEN CAST(18446744073709551616 AS HUGEINT)
+                           ELSE 0 END AS BIGINT) AS simhash
+        FROM codes
+    """,
+    "simhash_neardup": "WITH " + _SIMHASH_CODES_SQL + """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.code_u, b.code_u)) <= 3
+    """,
+    "embedding_neardup": """
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        aug AS (
+            SELECT vec_id, e FROM base
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_concat([e[1] + 0.01], e[2:]) AS e
+            FROM base WHERE vec_id % 20 = 0
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.9
     """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id,
