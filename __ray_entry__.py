@@ -88,6 +88,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ieps_crawler_ray.pipelines import flagship as F
     from ieps_crawler_ray.pipelines.analytics import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    # the crawl oracles read the single-threaded oracle crawler's exported
+    # parquet (pure Python, no Ray) — make sure it exists before the SQL
+    # side can run
+    try:
+        F.ensure_oracle_export("/root/testdata/sf0.01")
+    except Exception:
+        pass  # rows-only fallback: queries still run without the export
+    return dict(ORACLE_SQL, **F.CRAWL_ORACLE_SQL)

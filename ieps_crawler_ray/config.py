@@ -36,6 +36,13 @@ class CrawlConfig:
     # all-to-all. At cluster scale P grows with the node count; each
     # partition must fit a block (<= DataContext.target_max_block_size).
     num_domain_partitions: int = 32
+    # per-round robots-rules broadcast guard: the driver gathers each
+    # shard's parsed rules and ray.puts them ONCE per round so the gate
+    # checks robots locally — cheap while the domain count is bounded, but
+    # a driver-side materialization at web scale (10^7 domains). Above
+    # this many cached domains the broadcast is skipped and the gate falls
+    # back to the batched robots-shard RPC path (crawl_stages.py gate fn).
+    max_broadcast_rules: int = 200_000
     # budgets
     max_rounds: Optional[int] = None
     max_pages: Optional[int] = None

@@ -113,3 +113,44 @@ def parse_sitemap_urls(xml: Optional[str]) -> list:
     import re
 
     return re.findall(r"<loc>\s*([^<\s][^<]*?)\s*</loc>", xml)
+
+
+def parse_sitemap(xml: Optional[str]) -> tuple:
+    """Classify a sitemap document: returns ``(page_urls, child_sitemaps)``.
+    A ``<sitemapindex>`` document's <loc> entries are themselves sitemaps
+    (``utils/SiteMaps.scala:12-55`` — the reference's SiteMapParser
+    recursively descends indexes); a ``<urlset>`` document's are pages."""
+    locs = parse_sitemap_urls(xml)
+    if xml and "<sitemapindex" in xml:
+        return [], locs
+    return locs, []
+
+
+SITEMAP_MAX_DEPTH = 3  # index-of-index bound (SiteMaps.scala recursion)
+
+
+def resolve_sitemaps(fetch_fn, sitemap_urls: list,
+                     max_depth: int = SITEMAP_MAX_DEPTH) -> tuple:
+    """Recursively resolve robots ``Sitemap:`` entries to page URLs,
+    descending sitemap indexes breadth-first to ``max_depth`` levels.
+    ``fetch_fn(url) -> {status, text, ...}``. Returns
+    ``(page_urls, top_level_content)`` where the content is the LAST
+    successfully fetched top-level document (the value the sites table
+    stores, matching the reference's one-sitemap-per-site column)."""
+    urls: list = []
+    content = None
+    frontier = list(sitemap_urls)
+    for depth in range(max_depth):
+        children: list = []
+        for sm_url in frontier:
+            res = fetch_fn(sm_url)
+            if res.get("status") == 200 and res.get("text"):
+                if depth == 0:
+                    content = res["text"]
+                locs, subs = parse_sitemap(res["text"])
+                urls.extend(locs)
+                children.extend(subs)
+        frontier = children
+        if not frontier:
+            break
+    return urls, content

@@ -77,31 +77,37 @@ def tpch_q1_pricing_summary(sf_dir: str):
 
 
 def orders_by_nation(sf_dir: str):
-    """customer ⋈ orders ⋈ nation via broadcast small sides (J3 pattern:
-    'broadcast-small-side', no shuffle join)."""
-    cust = pd.read_parquet(_pq(sf_dir, "customer"),
-                           columns=["c_custkey", "c_nationkey"])
+    """customer ⋈ orders ⋈ nation. The TRULY small side (nation, 25 rows)
+    is broadcast; customer is fact-scaled, so orders are first partially
+    pre-aggregated per custkey inside map_batches and then joined to
+    customer with a PARTITIONED hash join — no fact-scaled table is ever
+    materialized on the driver or broadcast (J3/J4 pattern split)."""
     nation = pd.read_parquet(_pq(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
-    cust_to_nation = dict(zip(
-        cust["c_custkey"],
-        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
-                                         nation["n_name"])))))
-    lookup_ref = ray.put(cust_to_nation)
-
-    def add_nation(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        out = pd.DataFrame({
-            "n_name": batch["o_custkey"].map(lookup),
-            "o_totalprice": batch["o_totalprice"]})
-        return out.groupby("n_name", as_index=False).agg(
-            n_orders=("o_totalprice", "size"),
-            total_price=("o_totalprice", "sum"))
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
-    out = orders.map_batches(add_nation, batch_format="pandas",
-                             batch_size=128 * 1024) \
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_price=("o_totalprice", "sum"))
+
+    per_cust = orders.map_batches(partial, batch_format="pandas",
+                                  batch_size=128 * 1024)
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    joined = per_cust.join(cust, join_type="inner", num_partitions=8,
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    def tag_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(nation_ref)
+        return pd.DataFrame({"n_name": batch["c_nationkey"].map(lk),
+                             "n_orders": batch["n_orders"],
+                             "total_price": batch["total_price"]})
+
+    out = joined.map_batches(tag_nation, batch_format="pandas") \
         .groupby("n_name").aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("total_price", alias_name="total_price")).to_pandas()
@@ -304,8 +310,34 @@ def doc_simhash(sf_dir: str):
 # near-duplicate detection
 # ---------------------------------------------------------------------------
 
+# Bucket blow-up guard for the candidate-pair stages: a band bucket of n
+# docs emits O(n^2) pairs, and a degenerate corpus (boilerplate/identical
+# docs) can put thousands of docs in ONE bucket. Above the cap the bucket
+# falls back to STAR linking (every member paired with the bucket minimum)
+# — candidate count drops to n-1 while every member still reaches the
+# exact-verify stage through its representative, and the event is logged
+# (no silent cap). Default sized so normal corpora never hit it.
+_MAX_BUCKET = 2048
+
+
+def _bucket_pairs(ids: np.ndarray, max_bucket: int,
+                  stage: str) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs (vectorized triu) under the cap, star pairs over it."""
+    n = len(ids)
+    if n > max_bucket:
+        import logging
+        logging.getLogger(__name__).warning(
+            "%s: bucket of %d docs exceeds max_bucket=%d — star-linking "
+            "to the minimum id (n-1 candidates instead of n(n-1)/2)",
+            stage, n, max_bucket)
+        return np.full(n - 1, ids[0]), ids[1:]
+    ai, bj = np.triu_indices(n, k=1)
+    return ids[ai], ids[bj]
+
+
 def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
-                        num_perm: int = 64, bands: int = 16):
+                        num_perm: int = 64, bands: int = 16,
+                        max_bucket: int = _MAX_BUCKET):
     """MinHash + LSH near-dup: shingle→signature→band explode→band-bucket
     groupby→candidate pairs→exact Jaccard verify (guide pattern)."""
     a, b = T.minhash_params(num_perm)
@@ -329,13 +361,9 @@ def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
                          "band_h": pa.array(band_hs, pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        ids = np.array(sorted(set(g["doc_id"])), dtype=np.int64)
+        da, db = _bucket_pairs(ids, max_bucket, "minhash_lsh_neardup")
+        return pd.DataFrame({"doc_a": da, "doc_b": db})
 
     cand = ds.map_batches(sigs, batch_format="pyarrow") \
         .groupby(["band_i", "band_h"]) \
@@ -939,7 +967,18 @@ def doc_bpe_token_counts(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4):
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — constant-factor memory, no
+    unpackbits blow-up on large matrices."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + \
+        ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4,
+                    max_bucket: int = _MAX_BUCKET):
     """SimHash near-dup pairs: 64-bit code -> band blocking -> exact
     Hamming verify. With max_hamming < bands the blocking is LOSSLESS by
     pigeonhole (<= bands-1 differing bits leave at least one band
@@ -970,10 +1009,22 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4):
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         codes = np.array([r[1] for r in rows], dtype=np.int64) \
             .view(np.uint64)
-        # vectorized pairwise Hamming: XOR matrix -> byte-wise popcount
-        x = codes[:, None] ^ codes[None, :]
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8),
-                            axis=2).sum(axis=2)
+        n = len(ids)
+        if n > max_bucket:
+            # degenerate bucket: star-compare against the minimum id only
+            # (bounded memory; every member still reaches the output
+            # through its representative when within distance) — logged,
+            # not silent
+            import logging
+            logging.getLogger(__name__).warning(
+                "simhash_neardup: bucket of %d docs exceeds max_bucket=%d "
+                "— star-comparing to the minimum id", n, max_bucket)
+            ham = _popcount_u64(codes[0] ^ codes[1:])
+            keep = ham <= max_hamming
+            return pd.DataFrame({"doc_a": np.full(int(keep.sum()), ids[0]),
+                                 "doc_b": ids[1:][keep]})
+        # vectorized pairwise Hamming: XOR outer matrix -> SWAR popcount
+        ham = _popcount_u64(codes[:, None] ^ codes[None, :])
         ai, bj = np.nonzero(np.triu(ham <= max_hamming, k=1))
         return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
 
@@ -985,7 +1036,8 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4):
 
 
 def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
-                          sample_mod: int = 4):
+                          sample_mod: int = 4,
+                          max_bucket: int = _MAX_BUCKET):
     """n-gram Jaccard near-dup via a shingle inverted index: each doc
     posts a deterministic sample of its shingle hashes (h % sample_mod ==
     0 — the same shingles for every doc, so co-sampling is consistent),
@@ -1010,14 +1062,9 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
                          "shingle_h": pa.array(keys, pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        out_a, out_b = [], []
-        if len(ids) <= 20:   # skip degenerate huge buckets (stopword-ish)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        ids = np.array(sorted(set(g["doc_id"])), dtype=np.int64)
+        da, db = _bucket_pairs(ids, max_bucket, "ngram_jaccard_neardup")
+        return pd.DataFrame({"doc_a": da, "doc_b": db})
 
     cand = ds.map_batches(post, batch_format="pyarrow") \
         .groupby("shingle_h").map_groups(pairs, batch_format="pandas") \

@@ -258,12 +258,20 @@ class CrawlDriver:
         # blocks, so the unfused fetch operator load-balances a hot
         # domain's work across the pool instead of on one straggler task.
         # broadcast the parsed robots rules (small: one entry per domain)
-        # so the gate checks locally; actor RPC only on cache miss
-        rules: dict = {}
-        for shard_rules in ray.get([a.dump_rules.remote()
-                                    for a in self.handles["robots"]]):
-            rules.update(shard_rules)
-        rules_ref = ray.put(rules)
+        # so the gate checks locally; actor RPC only on cache miss. Guarded:
+        # past cfg.max_broadcast_rules domains the per-round gather itself
+        # is the scale problem, so the gate runs entirely on the batched
+        # robots-shard RPC path instead (rules_ref=None fallback).
+        n_rules = sum(ray.get([a.rule_count.remote()
+                               for a in self.handles["robots"]]))
+        if n_rules <= cfg.max_broadcast_rules:
+            rules: dict = {}
+            for shard_rules in ray.get([a.dump_rules.remote()
+                                        for a in self.handles["robots"]]):
+                rules.update(shard_rules)
+            rules_ref = ray.put(rules)
+        else:
+            rules_ref = None
         gate_fn = make_seen_robots_fn(self.handles, rules_ref)
         sched_fn = make_schedule_fn(state_ref, cfg.seeds,
                                     cfg.fetch_chunk_rows)
@@ -506,9 +514,21 @@ def read_order(out_dir: str) -> rd.Dataset:
                            columns=["domain", "seq", "url", "kind"])
 
 
+# broadcast-vs-join threshold for the links semi-filter: below this total
+# fetched-output size the distinct page-URL set rides the object store once
+# (cheap in-task lookup); above it edges semi-join against the pages view
+# with two partitioned hash joins — never a driver-side set of every URL
+_LINKS_BROADCAST_LIMIT_BYTES = 64 * 1024 * 1024
+
+
 def read_links(out_dir: str) -> rd.Dataset:
     """Distinct link edges: extraction pairs (kind-0 frontier candidates)
-    plus disallowed image/data parent edges, filtered to stored pages."""
+    plus disallowed image/data parent edges, semi-filtered to stored pages
+    (both endpoints must be stored — ``CrawlerDIO.scala:137-156`` inserts
+    edges only between inserted pages). Adaptive plan: broadcast the
+    distinct page-URL column under ``_LINKS_BROADCAST_LIMIT_BYTES``, else
+    two partitioned hash semi-joins (the only correct shape at 10^10
+    URLs)."""
     fr = os.path.join(out_dir, "frontier")
     gens = sorted(os.path.join(root, f)
                   for root, _d, files in os.walk(fr)
@@ -523,31 +543,75 @@ def read_links(out_dir: str) -> rd.Dataset:
     pairs = cand.select_columns(["parent_url", "url"]).union(
         dis.select_columns(["parent_url", "url"]))
 
-    page_urls_ref = ray.put(_page_url_set(out_dir))
+    fetched = _fetched_paths(out_dir)
+    page_urls = rd.read_parquet(
+        fetched, columns=["url"],
+        filter=((pc.field("kind") == 0) |
+                (~pc.field("allowed") & pc.field("stores_page"))))
 
-    def sem_filter(batch: pa.Table) -> pa.Table:
-        urls = ray.get(page_urls_ref)
-        keep = [f in urls and t in urls
-                for f, t in zip(batch.column("parent_url").to_pylist(),
-                                batch.column("url").to_pylist())]
-        return batch.filter(pa.array(keep))
+    small = sum(os.path.getsize(p) for p in fetched) \
+        < _LINKS_BROADCAST_LIMIT_BYTES
+    if small:
+        # distinct computed distributed; only the (bounded) URL column is
+        # pulled back and shipped once via the object store
+        distinct = page_urls.groupby("url").count().select_columns(["url"])
+        urls_ref = ray.put(set(
+            u for b in distinct.iter_batches(batch_format="pyarrow")
+            for u in b.column("url").to_pylist()))
 
-    pairs = pairs.map_batches(sem_filter, batch_format="pyarrow")
+        def sem_filter(batch: pa.Table) -> pa.Table:
+            urls = ray.get(urls_ref)
+            keep = [f in urls and t in urls
+                    for f, t in zip(batch.column("parent_url").to_pylist(),
+                                    batch.column("url").to_pylist())]
+            return batch.filter(pa.array(keep))
+
+        pairs = pairs.map_batches(sem_filter, batch_format="pyarrow")
+    else:
+        # two partitioned hash semi-joins expressed as groupby shuffles
+        # (union edges with key markers, group on the key, keep edge rows
+        # only where a marker lands in the group) — no join-operator actor
+        # pools, no driver-side set; duplicates on the key side are
+        # harmless because only edge rows are emitted
+        pairs = _semi_keep(pairs, "parent_url", page_urls)
+        pairs = _semi_keep(pairs, "url", page_urls)
+
     # exact dedup on the edge pair (groupby shuffle)
     return pairs.groupby(["parent_url", "url"]).count() \
         .select_columns(["parent_url", "url"])
 
 
-def _page_url_set(out_dir: str) -> set:
-    urls: set = set()
-    for p in _fetched_paths(out_dir):
-        scanner = pads.dataset(p, format="parquet").scanner(
-            columns=["url", "kind", "allowed", "stores_page"],
-            filter=(pc.field("kind") == 0) |
-                   (~pc.field("allowed") & pc.field("stores_page")))
-        for b in scanner.to_batches():
-            urls.update(b.column("url").to_pylist())
-    return urls
+def _semi_keep(edges: rd.Dataset, key_col: str,
+               page_urls: rd.Dataset) -> rd.Dataset:
+    """Partitioned hash semi-join: keep ``edges`` rows whose ``key_col``
+    value appears in ``page_urls.url``. One groupby shuffle on the key;
+    scales as a hash join (the plan required at 10^10 URLs) without the
+    join operator's aggregator-actor pool."""
+    import numpy as np
+
+    other_col = "url" if key_col == "parent_url" else "parent_url"
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column(key_col),
+                         "other": b.column(other_col),
+                         "is_key": pa.array(
+                             np.zeros(b.num_rows, dtype=bool))})
+
+    def tag_keys(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column("url"),
+                         "other": pa.nulls(b.num_rows, pa.string()),
+                         "is_key": pa.array(
+                             np.ones(b.num_rows, dtype=bool))})
+
+    def keep(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        e = g[~g["is_key"]] if g["is_key"].any() else g.iloc[0:0]
+        return pd.DataFrame({key_col: e["k"], other_col: e["other"]})
+
+    u = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+        page_urls.map_batches(tag_keys, batch_format="pyarrow"))
+    return u.groupby("k").map_groups(keep, batch_format="pandas")
 
 
 def read_sites(out_dir: str) -> pa.Table:
@@ -573,7 +637,10 @@ def crawl_stats(out_dir: str) -> "pd.DataFrame":
     by_type = by_type.rename(columns={"page_type": "key"})
     by_type["stat"] = "page_type"
     by_status = by_status.rename(columns={"http_status": "key"})
-    by_status["key"] = by_status["key"].astype("string")
+    # int-valued keys rendered without a float suffix ('200', not '200.0';
+    # null statuses stay null — matches CAST(http_status AS VARCHAR))
+    by_status["key"] = by_status["key"].map(
+        lambda v: None if pd.isna(v) else str(int(v)))
     by_status["stat"] = "http_status"
     out = pd.concat([by_type, by_status], ignore_index=True)
     return out[["stat", "key", "n"] +

@@ -71,6 +71,131 @@ def world_for_sf(sf_dir: str) -> SyntheticWeb:
                                     n_corpus=nc, seed=42, n_seeds=ns), corpus)
 
 
+def _package_version() -> str:
+    """8-hex fingerprint of the whole package source — invalidates the
+    oracle-crawler export cache whenever ANY engine/oracle code changes."""
+    import glob
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=4)
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in sorted(glob.glob(os.path.join(pkg, "**", "*.py"),
+                              recursive=True)):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+# Fixed per-tier export location for the single-threaded oracle crawler's
+# tables, referenced by the STATIC SQL strings in CRAWL_ORACLE_SQL (the
+# driver's correctness pass runs at sf0.01). ensure_oracle_export() keeps
+# the files fresh (package-version marker).
+_ORACLE_EXPORT_BASE = "/tmp/ieps_oracle_export"
+
+
+def ensure_oracle_export(sf_dir: str) -> str:
+    """Run the pure-Python oracle crawler (pipelines/oracle.py) over the
+    same deterministic world and export its tables as parquet, giving the
+    crawl_* queries real DuckDB oracles instead of rows-only checks."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from .oracle import OracleCrawler
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{_ORACLE_EXPORT_BASE}_{tier}"
+    marker = os.path.join(out, "_complete.json")
+    version = _package_version()
+    try:
+        with open(marker) as f:
+            if json.load(f).get("version") == version:
+                return out
+    except Exception:
+        pass
+    web = world_for_sf(sf_dir)
+    res = OracleCrawler(web).run()
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(res["pages"].select(
+        ["url", "domain", "page_type", "http_status", "content_hash",
+         "load_time_ms", "seq", "fetch_time"]),
+        os.path.join(out, "pages.parquet"))
+    pq.write_table(res["order"], os.path.join(out, "order.parquet"))
+    pq.write_table(res["links"], os.path.join(out, "links.parquet"))
+    imgs = res["images"].select(
+        ["filename", "domain", "page_url", "seq", "is_duplicate",
+         "downloaded", "content_type", "w", "h", "fmt", "phash", "caption"]) \
+        .rename_columns(["url", "domain", "parent_url", "seq",
+                         "is_duplicate", "downloaded", "content_type", "w",
+                         "h", "fmt", "phash", "caption"])
+    pq.write_table(imgs, os.path.join(out, "images.parquet"))
+    pdata = res["page_data"].select(
+        ["filename", "domain", "page_url", "seq", "is_duplicate",
+         "downloaded", "content_type", "data_type"]) \
+        .rename_columns(["url", "domain", "parent_url", "seq",
+                         "is_duplicate", "downloaded", "content_type",
+                         "data_type"])
+    pq.write_table(pdata, os.path.join(out, "page_data.parquet"))
+    pq.write_table(res["sites"].select(
+        ["domain", "robots_content", "sitemap_content"]),
+        os.path.join(out, "sites.parquet"))
+    tmp = marker + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "tier": tier}, f)
+    os.replace(tmp, marker)
+    return out
+
+
+_X = _ORACLE_EXPORT_BASE + "_sf0.01"  # the driver's correctness tier
+
+# DuckDB oracles for the crawl queries: the oracle CRAWLER's exported
+# tables are the ground truth (conformance tests pin engine == oracle on
+# two other worlds; this makes the equality visible to the driver's
+# hash-compare as real CORRECTNESS rows). oracle_sql() calls
+# ensure_oracle_export() before returning these strings.
+CRAWL_ORACLE_SQL = {
+    "crawl_flagship": f"""
+        SELECT url, domain, page_type, http_status, content_hash, seq,
+               fetch_time
+        FROM read_parquet('{_X}/pages.parquet')
+    """,
+    "crawl_order": f"""
+        SELECT domain, seq, url, kind FROM read_parquet('{_X}/order.parquet')
+    """,
+    "crawl_links": f"""
+        SELECT from_url AS parent_url, to_url AS url
+        FROM read_parquet('{_X}/links.parquet')
+    """,
+    "crawl_images": f"""
+        SELECT url, domain, parent_url, seq, is_duplicate, downloaded,
+               content_type, w, h, fmt, phash, caption
+        FROM read_parquet('{_X}/images.parquet')
+    """,
+    "crawl_page_data": f"""
+        SELECT url, domain, parent_url, seq, is_duplicate, downloaded,
+               content_type, data_type
+        FROM read_parquet('{_X}/page_data.parquet')
+    """,
+    "crawl_sites": f"""
+        SELECT domain, robots_content, sitemap_content
+        FROM read_parquet('{_X}/sites.parquet')
+    """,
+    "crawl_degrees": f"""
+        SELECT from_url AS parent_url, COUNT(*) AS out_degree
+        FROM read_parquet('{_X}/links.parquet') GROUP BY from_url
+    """,
+    "crawl_statistics": f"""
+        SELECT 'page_type' AS stat, page_type AS key, COUNT(*) AS n,
+               CAST(NULL AS DOUBLE) AS avg_load_ms
+        FROM read_parquet('{_X}/pages.parquet') GROUP BY page_type
+        UNION ALL
+        SELECT 'http_status', CAST(http_status AS VARCHAR), COUNT(*),
+               AVG(load_time_ms)
+        FROM read_parquet('{_X}/pages.parquet') GROUP BY http_status
+    """,
+}
+
+
 # one crawl per (process, sf tier): every crawl_* query below reads views
 # of the same run's output instead of re-crawling
 _CRAWL_CACHE: dict = {}

@@ -80,14 +80,9 @@ class OracleCrawler:
             return
         robots_txt = self.web.get_robots(domain)
         rules = parse_robots(robots_txt)
-        sitemap_content = None
-        sitemap_urls = []
-        for sm_url in rules.sitemaps:
-            res = self.web.fetch(sm_url)
-            if res.get("status") == 200 and res.get("text"):
-                sitemap_content = res["text"]
-                from ..functions.robots import parse_sitemap_urls
-                sitemap_urls.extend(parse_sitemap_urls(res["text"]))
+        from ..functions.robots import resolve_sitemaps
+        sitemap_urls, sitemap_content = resolve_sitemaps(
+            self.web.fetch, rules.sitemaps)
         download = any(domain in s for s in seeds)
         self.sites[domain] = {
             "domain": domain, "robots_content": robots_txt,
@@ -232,11 +227,13 @@ class OracleCrawler:
             fetched = (not existed) and first and download
             data = None
             data_type = None
+            content_type = None
             if fetched:
                 raw = self.web.fetch(url)
                 if raw.get("status") is not None and 200 <= raw["status"] < 400:
                     data = raw.get("data")
-                    data_type = MIME_TO_DATA_TYPE.get(raw.get("content_type"))
+                    content_type = raw.get("content_type")
+                    data_type = MIME_TO_DATA_TYPE.get(content_type)
             if not existed and first:
                 self.data_seen.add(url)
             self.page_data.append(
@@ -244,6 +241,7 @@ class OracleCrawler:
                  "page_url": r.get("parent_url"),  # dup keeps OWN parent
                  "data_type": data_type, "is_duplicate": dup,
                  "downloaded": data is not None, "data": data,
+                 "content_type": content_type,
                  "round": rnd, "seq": r["seq"], "fetch_time": r["fetch_time"]})
 
     def _decode_image(self, row: dict) -> None:
@@ -336,6 +334,7 @@ class OracleCrawler:
             "domain": col(self.images, "domain", pa.string()),
             "page_url": col(self.images, "page_url", pa.string()),
             "con_type": col(self.images, "con_type", pa.string()),
+            "content_type": col(self.images, "content_type", pa.string()),
             "is_duplicate": col(self.images, "is_duplicate", pa.bool_()),
             "downloaded": col(self.images, "downloaded", pa.bool_()),
             "data": col(self.images, "data", pa.large_binary()),
@@ -353,6 +352,7 @@ class OracleCrawler:
             "domain": col(self.page_data, "domain", pa.string()),
             "page_url": col(self.page_data, "page_url", pa.string()),
             "data_type": col(self.page_data, "data_type", pa.string()),
+            "content_type": col(self.page_data, "content_type", pa.string()),
             "is_duplicate": col(self.page_data, "is_duplicate", pa.bool_()),
             "downloaded": col(self.page_data, "downloaded", pa.bool_()),
             "data": col(self.page_data, "data", pa.large_binary()),

@@ -90,14 +90,32 @@ class SyntheticWeb:
             lines.append(f"Sitemap: http://{base}/sitemap.xml")
         return "\n".join(lines) + "\n"
 
-    def sitemap_xml(self, domain: str):
+    def _sitemap_ks(self, base: str) -> list:
+        size = self.sizes[base]
+        # deep pages (upper half) that the link graph may not reach
+        return sorted({(_stable_u64("smap", self.cfg.seed, base, j) % size)
+                       for j in range(4)})
+
+    def has_sitemap_index(self, base: str) -> bool:
+        """Half the sitemap-bearing domains serve a sitemap INDEX at
+        /sitemap.xml whose <loc>s are child sitemaps — exercises the
+        recursive descent path (SiteMaps.scala:12-55)."""
+        return _stable_u64("smidx", self.cfg.seed, base) % 2 == 0
+
+    def sitemap_xml(self, domain: str, part: int = None):
         base = domain[4:] if domain.startswith("www.") else domain
         if base not in self.sizes:
             return None
-        size = self.sizes[base]
-        # deep pages (upper half) that the link graph may not reach
-        ks = sorted({(_stable_u64("smap", self.cfg.seed, base, j) % size)
-                     for j in range(4)})
+        ks = self._sitemap_ks(base)
+        if part is None and self.has_sitemap_index(base):
+            locs = "".join(
+                f"<sitemap><loc>http://{base}/sitemap-{i}.xml</loc></sitemap>"
+                for i in range(2))
+            return f'<?xml version="1.0"?><sitemapindex>{locs}</sitemapindex>'
+        if part is not None:
+            if not self.has_sitemap_index(base) or part not in (0, 1):
+                return None
+            ks = [k for i, k in enumerate(ks) if i % 2 == part]
         urls = "".join(f"<url><loc>http://{base}/p/{k}/</loc></url>" for k in ks)
         return f'<?xml version="1.0"?><urlset>{urls}</urlset>'
 
@@ -253,6 +271,13 @@ class SyntheticWeb:
             xml = self.sitemap_xml(domain)
             return {"status": 200, "content_type": "application/xml",
                     "text": xml, "data": None, "load_time_ms": load}
+        sm = re.match(r"^/sitemap-(\d+)\.xml$", path)
+        if sm:
+            xml = self.sitemap_xml(domain, part=int(sm.group(1)))
+            if xml is None:
+                return html(404, "<html><body>no sitemap part</body></html>")
+            return {"status": 200, "content_type": "application/xml",
+                    "text": xml, "data": None, "load_time_ms": load}
         if re.match(r"^/plain/\d+/?$", path):
             return {"status": 200, "content_type": "text/plain",
                     "text": "plain text body", "data": None,
@@ -291,12 +316,9 @@ class SyntheticWeb:
 
     def get_sitemap_urls(self, domain: str, robots_text) -> list:
         """Sitemap URLs for a domain: parse robots 'Sitemap:' lines, fetch
-        each, extract <loc> urls (SiteMaps.scala:12-55 analog)."""
-        from ..functions.robots import parse_robots, parse_sitemap_urls
+        each, recursively descend sitemap indexes
+        (SiteMaps.scala:12-55 analog)."""
+        from ..functions.robots import parse_robots, resolve_sitemaps
         rules = parse_robots(robots_text)
-        out = []
-        for sm_url in rules.sitemaps:
-            res = self.fetch(sm_url)
-            if res.get("status") == 200 and res.get("text"):
-                out.extend(parse_sitemap_urls(res["text"]))
-        return out
+        urls, _content = resolve_sitemaps(self.fetch, rules.sitemaps)
+        return urls

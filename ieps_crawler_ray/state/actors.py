@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from ..functions.robots import parse_robots, parse_sitemap_urls
+from ..functions.robots import parse_robots, resolve_sitemaps
 from .cuckoo import SeenShard
 
 
@@ -74,13 +74,9 @@ class RobotsShardActor:
             return
         robots_txt = self.web.get_robots(domain) if self.web else None
         rules = parse_robots(robots_txt)
-        sitemap_content = None
-        sitemap_urls: list = []
-        for sm_url in rules.sitemaps:
-            res = self.web.fetch(sm_url)
-            if res.get("status") == 200 and res.get("text"):
-                sitemap_content = res["text"]
-                sitemap_urls.extend(parse_sitemap_urls(res["text"]))
+        # recursive sitemap-index descent (SiteMaps.scala:12-55), bounded
+        sitemap_urls, sitemap_content = resolve_sitemaps(
+            self.web.fetch, rules.sitemaps)
         self.rules[domain] = rules
         self.sites[domain] = {"domain": domain, "robots_content": robots_txt,
                               "sitemap_content": sitemap_content,
@@ -103,6 +99,9 @@ class RobotsShardActor:
     def bootstrap_many(self, domains: list) -> int:
         for d in domains:
             self._ensure(d)
+        return len(self.rules)
+
+    def rule_count(self) -> int:
         return len(self.rules)
 
     def dump_rules(self) -> dict:

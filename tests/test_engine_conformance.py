@@ -111,6 +111,30 @@ def test_links_exact(oracle, engine_out):
     assert o == e
 
 
+def test_links_join_path_matches_broadcast(oracle, engine_out, monkeypatch):
+    """Force the partitioned-hash-semi-join plan (threshold 0) — the links
+    view must stay exactly equal to the oracle without any driver-side
+    URL-set materialization."""
+    monkeypatch.setattr(C, "_LINKS_BROADCAST_LIMIT_BYTES", 0)
+    o = set(map(tuple, oracle["links"].to_pandas().values))
+    e = set(map(tuple, C.read_links(engine_out).to_pandas().values))
+    assert o == e
+
+
+def test_rules_rpc_fallback_conformance(world, oracle, ray_session):
+    """max_broadcast_rules=0 disables the per-round rules broadcast; the
+    gate runs entirely on the batched robots-shard RPC path and the crawl
+    must still match the oracle exactly."""
+    out = "/tmp/ieps_test_crawl_rpc"
+    shutil.rmtree(out, ignore_errors=True)
+    C.run_crawl(world, CrawlConfig(out_dir=out, seeds=list(world.seeds),
+                                   max_broadcast_rules=0))
+    _assert_frames_equal(
+        oracle["pages"].to_pandas(), C.read_pages(out).to_pandas(),
+        ["url"], ["page_type", "http_status", "content_hash", "seq",
+                  "fetch_time"])
+
+
 def test_sites_match(oracle, engine_out):
     o = oracle["sites"].to_pandas().set_index("domain")
     e = C.read_sites(engine_out).to_pandas().set_index("domain")

@@ -66,6 +66,68 @@ def test_sitemap_loc_parse():
         "http://a.gov.si/p/1", "http://a.gov.si/p/2"]
 
 
+def test_sitemap_index_classification():
+    idx = ("<sitemapindex><sitemap><loc>http://a.gov.si/s-0.xml</loc>"
+           "</sitemap></sitemapindex>")
+    flat = "<urlset><url><loc>http://a.gov.si/p/1</loc></url></urlset>"
+    assert robots.parse_sitemap(idx) == ([], ["http://a.gov.si/s-0.xml"])
+    assert robots.parse_sitemap(flat) == (["http://a.gov.si/p/1"], [])
+
+
+def test_resolve_sitemaps_recurses_index():
+    docs = {
+        "http://a.gov.si/sitemap.xml":
+            "<sitemapindex><sitemap><loc>http://a.gov.si/s-0.xml</loc>"
+            "</sitemap><sitemap><loc>http://a.gov.si/s-1.xml</loc>"
+            "</sitemap></sitemapindex>",
+        "http://a.gov.si/s-0.xml":
+            "<urlset><url><loc>http://a.gov.si/p/1/</loc></url></urlset>",
+        "http://a.gov.si/s-1.xml":
+            "<urlset><url><loc>http://a.gov.si/p/2/</loc></url></urlset>",
+    }
+
+    def fetch(u):
+        t = docs.get(u)
+        return {"status": 200 if t else 404, "text": t}
+
+    urls, content = robots.resolve_sitemaps(
+        fetch, ["http://a.gov.si/sitemap.xml"])
+    assert urls == ["http://a.gov.si/p/1/", "http://a.gov.si/p/2/"]
+    assert "<sitemapindex" in content  # top-level doc is what sites stores
+
+
+def test_resolve_sitemaps_depth_bounded():
+    """A self-referencing index chain terminates at SITEMAP_MAX_DEPTH."""
+    calls = []
+
+    def fetch(u):
+        calls.append(u)
+        return {"status": 200,
+                "text": ("<sitemapindex><sitemap><loc>http://a.gov.si/"
+                         "loop.xml</loc></sitemap></sitemapindex>")}
+
+    urls, _ = robots.resolve_sitemaps(fetch, ["http://a.gov.si/loop.xml"])
+    assert urls == []
+    assert len(calls) == robots.SITEMAP_MAX_DEPTH
+
+
+def test_world_sitemap_index_parts_union_to_flat_set():
+    """An index domain's child sitemaps cover exactly the urls a flat
+    sitemap would list."""
+    from ieps_crawler_ray.sources.corpus import build_corpus_rows
+    from ieps_crawler_ray.sources.synthetic_web import (SyntheticWeb,
+                                                        WorldConfig)
+
+    web = SyntheticWeb(WorldConfig(n_domains=5, total_pages=60, n_corpus=8,
+                                   seed=42, n_seeds=3), build_corpus_rows(8))
+    dom = "site0001.gov.si"          # sitemap INDEX domain in this world
+    assert web.has_sitemap_index(dom)
+    assert "<sitemapindex" in web.sitemap_xml(dom)
+    urls = web.get_sitemap_urls(dom, web.robots_txt(dom))
+    want = {f"http://{dom}/p/{k}/" for k in web._sitemap_ks(dom)}
+    assert set(urls) == want and len(urls) == len(want)
+
+
 # ------------------------------ extract -----------------------------------
 
 HTML = """

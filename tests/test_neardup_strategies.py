@@ -30,3 +30,60 @@ def test_broadcast_and_join_strategies_agree(ray_session):
                                 strategy="join").to_pandas()
     assert _pairs(b) == _pairs(j)
     assert len(_pairs(b)) == 40  # threshold 0 keeps every candidate
+
+
+def _degenerate_docs_dir(tmp_path, n=300):
+    """A corpus of n IDENTICAL docs — every LSH band bucket collapses to
+    one bucket of n, the classic uncapped-bucket blow-up input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = "the same boilerplate text repeated for every single document " \
+           "in this degenerate corpus with enough words for shingles"
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([text] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["srcx"] * n, pa.string()),
+        "n_chars": pa.array([len(text)] * n, pa.int64())})
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_degenerate_bucket_capped(ray_session, tmp_path):
+    """1 bucket of 300 identical docs with max_bucket=64: the star-link
+    fallback keeps candidate count linear and every document still reaches
+    the verified output through the representative pair."""
+    sf = _degenerate_docs_dir(tmp_path)
+    out = A.minhash_lsh_neardup(sf, max_bucket=64).to_pandas()
+    # star pairs: (0, k) for every other doc — all verify at Jaccard 1.0
+    assert len(out) == 299
+    covered = set(out["doc_a"]) | set(out["doc_b"])
+    assert covered == set(range(300))
+
+
+def test_simhash_degenerate_bucket_capped(ray_session, tmp_path):
+    sf = _degenerate_docs_dir(tmp_path)
+    out = A.simhash_neardup(sf, max_bucket=64).to_pandas()
+    assert len(out) == 299  # identical codes -> hamming 0 star pairs
+    covered = set(out["doc_a"]) | set(out["doc_b"])
+    assert covered == set(range(300))
+
+
+def test_minhash_uncapped_matches_bruteforce_on_small_corpus(ray_session):
+    """Sanity: with the default cap (never triggered at sf0.001) the LSH
+    output equals brute-force exact Jaccard >= 0.5 pairs."""
+    import itertools
+
+    from ieps_crawler_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    sh = {r.doc_id: T.word_shingles(r.text) for r in docs.itertuples()}
+    want = {(a, b) for a, b in itertools.combinations(sorted(sh), 2)
+            if T.jaccard(sh[a], sh[b]) >= 0.5}
+    got = _pairs(A.minhash_lsh_neardup(sf).to_pandas())
+    assert got == want
