@@ -603,6 +603,87 @@ _SIMHASH_CODES_SQL = r"""
     )
 """
 
+# Language-ID recomputed in SQL: distinct-token overlap with each marker
+# set, argmax with first-wins tie-break == ORDER BY n DESC, pri ASC
+# (functions/text.py:lang_id; markers mirror _LANG_MARKERS in dict order).
+_LANG_ID_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(regexp_extract_all(lower(text), '\w+')) AS w
+        FROM documents
+    ),
+    langs(lang, pri, markers) AS (VALUES
+        ('en', 0, ['the','a','and','of','to','in']),
+        ('es', 1, ['el','la','de','que','y','los']),
+        ('de', 2, ['der','die','und','das','ist','ein']),
+        ('fr', 3, ['le','la','et','les','des','une']),
+        ('zh', 4, CAST([] AS VARCHAR[]))),
+    scores AS (
+        SELECT t.doc_id, l.lang, l.pri,
+               len(list_intersect(t.w, l.markers)) AS n
+        FROM toks t CROSS JOIN langs l
+    )
+    SELECT doc_id, (array_agg(lang ORDER BY n DESC, pri ASC))[1] AS lang_pred
+    FROM scores GROUP BY doc_id
+"""
+
+
+def _winnow_pw_literal(window: int = 16) -> str:
+    """Karp-Rabin power table base^(window-1-i) mod 2^64 as HUGEINT
+    literals — mirrors functions/hashing.py:rolling_fingerprint's pw."""
+    base, mod = 1099511628211, 1 << 64
+    pw = [1] * window
+    for i in range(window - 2, -1, -1):
+        pw[i] = (pw[i + 1] * base) % mod
+    return "[" + ",".join(f"CAST({v} AS HUGEINT)" for v in pw) + "]"
+
+
+# Winnowing fingerprints recomputed in SQL: per-position rolling hash via
+# HUGEINT modular arithmetic (sum of byte*pw mod 2^64), keep hashes
+# divisible by 256 else the first window hash; short docs use the djb2-33
+# list_reduce path (functions/hashing.py:rolling_fingerprint, ASCII text).
+_FINGERPRINT_SQL = f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    win AS (
+        SELECT doc_id, unnest(range(1, n - 16 + 2)) AS i, text
+        FROM d WHERE n >= 16
+    ),
+    h AS (
+        SELECT doc_id, i,
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                   CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS HUGEINT)
+                   * {_winnow_pw_literal()}[CAST(j + 1 AS INT)]))
+                 % 18446744073709551616 AS UBIGINT) AS hv
+        FROM win
+    ),
+    short AS (
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(CAST(5381 AS HUGEINT),
+                       list_transform(range(1, CAST(n AS INT) + 1),
+                           j -> CAST(ord(substr(text, CAST(j AS INT), 1))
+                                     AS HUGEINT))),
+                   (acc, x) -> (acc * 33 + x) % 18446744073709551616)
+                 AS UBIGINT) AS hv
+        FROM d WHERE n < 16 AND n > 0
+    ),
+    sel AS (
+        SELECT doc_id, hv, (hv % 256 = 0) AS keep,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+               BOOL_OR(hv % 256 = 0) OVER (PARTITION BY doc_id) AS any_keep
+        FROM h
+    ),
+    chosen AS (
+        SELECT doc_id, hv FROM sel WHERE keep OR (NOT any_keep AND rn = 1)
+        UNION ALL
+        SELECT doc_id, hv FROM short
+    )
+    SELECT doc_id, COUNT(DISTINCT hv) AS n_fingerprints,
+           CAST(CAST(MIN(hv) AS HUGEINT) - 9223372036854775808 AS BIGINT)
+               AS min_fingerprint
+    FROM chosen GROUP BY doc_id
+"""
+
 ORACLE_SQL = {
     "tpch_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -772,6 +853,8 @@ ORACLE_SQL = {
     """,
     "minhash_lsh_neardup": _JACCARD_PAIRS_SQL,
     "ngram_jaccard_neardup": _JACCARD_PAIRS_SQL,
+    "doc_lang_id": _LANG_ID_SQL,
+    "doc_fingerprints": _FINGERPRINT_SQL,
     "doc_simhash": "WITH " + _SIMHASH_CODES_SQL + """
         SELECT doc_id,
                CAST(CAST(code_u AS HUGEINT)

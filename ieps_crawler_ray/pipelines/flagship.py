@@ -139,6 +139,13 @@ def ensure_oracle_export(sf_dir: str) -> str:
     pq.write_table(res["sites"].select(
         ["domain", "robots_content", "sitemap_content"]),
         os.path.join(out, "sites.parquet"))
+    # deterministic image-corpus metadata: the expected outputs of the
+    # multimodal decode/thumbnail pipelines (every image must decode to
+    # exactly these dims/fmt and roundtrip) — gives image_decode_stats /
+    # image_thumbnails real DuckDB oracles
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    pq.write_table(build_corpus_rows(nc).select(["image_id", "w", "h", "fmt"]),
+                   os.path.join(out, "corpus.parquet"))
     tmp = marker + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"version": version, "tier": tier}, f)
@@ -183,6 +190,15 @@ CRAWL_ORACLE_SQL = {
     "crawl_degrees": f"""
         SELECT from_url AS parent_url, COUNT(*) AS out_degree
         FROM read_parquet('{_X}/links.parquet') GROUP BY from_url
+    """,
+    "image_decode_stats": f"""
+        SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_ok
+        FROM read_parquet('{_X}/corpus.parquet') GROUP BY fmt
+    """,
+    "image_thumbnails": f"""
+        SELECT image_id, CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h,
+               CAST(1 AS BIGINT) AS roundtrip_ok
+        FROM read_parquet('{_X}/corpus.parquet')
     """,
     "crawl_statistics": f"""
         SELECT 'page_type' AS stat, page_type AS key, COUNT(*) AS n,
