@@ -1,10 +1,12 @@
 """HTML link / image / binary-doc extraction.
 
 From-scratch analog of the reference extractor
-(``/root/reference/src/main/scala/com/ieps/crawler/utils/ExtractFromHTML.scala``),
-implemented with compiled regexes (no HTML parser library is available in
-this environment; the synthetic web emits well-formed attributes, and the
-unit tests pin the semantics below).
+(``/root/reference/src/main/scala/com/ieps/crawler/utils/ExtractFromHTML.scala``).
+The reference parses with jsoup; here the default path is a tolerant
+stdlib ``html.parser`` tokenizer (handles unquoted attributes, tags
+spanning newlines, comments containing ``<a``, script CDATA — the
+real-world-HTML cases a regex can't), with the original compiled-regex
+path kept as a documented fallback and parity check.
 
 Observed reference semantics reproduced here:
 
@@ -38,6 +40,7 @@ Observed reference semantics reproduced here:
 from __future__ import annotations
 
 import re
+from html.parser import HTMLParser
 from typing import Optional
 
 from .canonical import canonicalize, extract_domain
@@ -65,6 +68,44 @@ def _attr_val(m: re.Match) -> str:
     return next(g for g in m.groups() if g is not None)
 
 
+class _ExtractParser(HTMLParser):
+    """One-pass tolerant tokenizer: collects ``a[href]`` values, every
+    element's ``onclick`` value, and ``img`` (src, alt) pairs, each in
+    document order (``ExtractFromHTML.scala:25-80`` traversal orders).
+    Comments, doctypes, script/style CDATA and processing instructions are
+    skipped by the tokenizer itself — the jsoup-parity cases."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list = []
+        self.onclicks: list = []
+        self.imgs: list = []
+
+    def handle_starttag(self, tag, attrs):
+        d: dict = {}
+        for k, v in attrs:
+            if k not in d:         # first occurrence wins (jsoup keeps
+                d[k] = v           # the first duplicate attribute)
+        if tag == "a" and d.get("href") is not None:
+            self.hrefs.append(d["href"])
+        if d.get("onclick") is not None:
+            self.onclicks.append(d["onclick"])
+        if tag == "img" and d.get("src") is not None:
+            self.imgs.append((d["src"], d.get("alt")))
+
+
+def parse_html(html: str) -> _ExtractParser:
+    """Tokenize once; a hard tokenizer failure degrades to whatever was
+    collected before the failure (never raises on malformed input)."""
+    p = _ExtractParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return p
+
+
 def extract_link(value: str, domain: str) -> Optional[str]:
     """``ExtractFromHTML.extractLink`` analog: canonicalize the value, else
     canonicalize ``domain + value``; None when both fail."""
@@ -74,9 +115,28 @@ def extract_link(value: str, domain: str) -> Optional[str]:
     return canonicalize(domain + value)
 
 
+def _links_from_parsed(p: _ExtractParser, domain: str) -> list:
+    out = []
+    for v in p.hrefs:
+        c = extract_link(v, domain)
+        if c is not None:
+            out.append(c)
+    for v in p.onclicks:
+        c = extract_link(v, domain)
+        if c is not None:
+            out.append(c)
+    return out
+
+
 def all_links(html: str, domain: str) -> list:
     """``getAllLinks`` analog: a[href] then onclick values, canonicalized,
     failures dropped, document order preserved."""
+    return _links_from_parsed(parse_html(html), domain)
+
+
+def all_links_regex(html: str, domain: str) -> list:
+    """Regex fallback path (original implementation) — kept for the
+    parser-parity test on well-formed HTML."""
     out = []
     for m in _A_HREF.finditer(html):
         c = extract_link(_attr_val(m), domain)
@@ -115,14 +175,27 @@ def con_type(url: Optional[str]) -> Optional[str]:
     return url[start:stop].upper()
 
 
+def _images_from_parsed(p: _ExtractParser) -> list:
+    out = []
+    for src, _alt in p.imgs:
+        c = canonicalize(src)
+        if c is not None:
+            out.append((c, con_type(c)))
+    return out
+
+
 def image_links(html: str) -> list:
     """``getImages`` analog: canonical img srcs with their conType, in
     document order; srcs that fail to canonicalize are dropped."""
-    out = []
-    for m in _IMG_SRC.finditer(html):
-        c = canonicalize(_attr_val(m))
-        if c is not None:
-            out.append((c, con_type(c)))
+    return _images_from_parsed(parse_html(html))
+
+
+def _alt_map_from_parsed(p: _ExtractParser) -> dict:
+    out: dict = {}
+    for src, alt in p.imgs:
+        c = canonicalize(src)
+        if c is not None and c not in out:
+            out[c] = alt
     return out
 
 
@@ -130,21 +203,7 @@ def image_alt_map(html: str) -> dict:
     """Map canonical img src -> alt text (caption sidecar for the decode
     stage; first occurrence wins). Not a reference behavior — part of the
     north_rule caption-extraction extension."""
-    out: dict = {}
-    tag_re = re.compile(r"<img\b[^>]*>", re.I | re.S)
-    src_re = re.compile(r"\bsrc" + _ATTR, re.I | re.S)
-    alt_re = re.compile(r"\balt" + _ATTR, re.I | re.S)
-    for m in tag_re.finditer(html):
-        tag = m.group(0)
-        sm = src_re.search(tag)
-        if not sm:
-            continue
-        c = canonicalize(_attr_val(sm))
-        if c is None or c in out:
-            continue
-        am = alt_re.search(tag)
-        out[c] = _attr_val(am) if am else None
-    return out
+    return _alt_map_from_parsed(parse_html(html))
 
 
 def extract_page(html: str, domain: str, scope_substring: str = "gov.si") -> dict:
@@ -158,13 +217,14 @@ def extract_page(html: str, domain: str, scope_substring: str = "gov.si") -> dic
       ``images``: same-domain (canonical_src, con_type, alt) triples
       ``edges``: extraction-order page-link targets for the link graph
     """
-    links = all_links(html, domain)
+    p = parse_html(html)  # ONE tokenizer pass feeds links+images+alts
+    links = _links_from_parsed(p, domain)
     plinks = page_links(links, scope_substring)
     dlinks = [u for u in data_links(links) if extract_domain(u) == domain]
     local = [u for u in plinks if extract_domain(u) == domain]
     remote = [u for u in plinks if extract_domain(u) != domain]
-    alts = image_alt_map(html)
-    imgs = [(u, t, alts.get(u)) for (u, t) in image_links(html)
+    alts = _alt_map_from_parsed(p)
+    imgs = [(u, t, alts.get(u)) for (u, t) in _images_from_parsed(p)
             if extract_domain(u) == domain]
     return {
         "page_links_local": local,

@@ -176,6 +176,47 @@ def test_data_links_no_distinct_no_scope():
     assert "http://x.com/b.docx" in dl  # no scope filter (faithful)
 
 
+MESSY_HTML = """
+<html><body>
+<!-- commented out: <a href="http://site1.gov.si/ghost/">nope</a> -->
+<a
+   href=http://site1.gov.si/p/7
+   class=unquoted>multiline unquoted</a>
+<A HREF="http://site1.gov.si/p/8">uppercase</A>
+<script>var s = '<a href="http://site1.gov.si/script-link/">x</a>';</script>
+<a href="http://site1.gov.si/p/amp?a=1&amp;b=2">entity</a>
+<img
+  src=img/messy.png
+  alt="messy alt">
+</body></html>
+"""
+
+
+def test_tolerant_parser_on_messy_html():
+    """jsoup-parity cases the regex path can't handle: comments containing
+    <a, unquoted attrs across newlines, uppercase tags/attrs, script CDATA,
+    entity-escaped attribute values."""
+    links = extract.all_links(MESSY_HTML, "site1.gov.si")
+    assert "http://site1.gov.si/p/7/" in links       # unquoted, multiline
+    assert "http://site1.gov.si/p/8/" in links       # uppercase tag+attr
+    assert not any("ghost" in u for u in links)      # comment skipped
+    assert not any("script-link" in u for u in links)  # script CDATA
+    assert any("a=1&b=2" in u for u in links)        # &amp; unescaped
+
+
+def test_parser_matches_regex_on_wellformed_html():
+    """On well-formed HTML the tokenizer path and the original regex path
+    extract identical links (parity pin for the default-path swap)."""
+    assert extract.all_links(HTML, "site1.gov.si") == \
+        extract.all_links_regex(HTML, "site1.gov.si")
+
+
+def test_parser_never_raises_on_garbage():
+    garbage = "<a href='http://site1.gov.si/ok/'><<<>>\x00<img src=<a<"
+    links = extract.all_links(garbage, "site1.gov.si")
+    assert "http://site1.gov.si/ok/" in links
+
+
 def test_con_type_quirk():
     # char-code slice quirk: last char 'g' (103) — short urls → full ext
     assert extract.con_type("http://a.gov.si/img/x.png") == "PNG"
