@@ -30,6 +30,10 @@ _SCALES = {
     "sf0.001": (5, 60, 60, 3, 32, 128),
     "sf0.01": (10, 250, 80, 4, 32, 128),
     "sf0.1": (64, 20000, 1000, 9, 128, 288),
+    # 3x-page world for the --scaling measurement: heavy mid-rounds
+    # dominate the fixed ramp/drain generations, so whole-job efficiency
+    # approaches the exec-phase number (the real multi-hour-crawl regime)
+    "sf0.1x3": (96, 60000, 1000, 9, 128, 288),
 }
 _DEFAULT_SCALE = (5, 60, 60, 3, 32, 128)
 
@@ -49,7 +53,8 @@ def _generator_version() -> str:
 
 
 def world_for_sf(sf_dir: str) -> SyntheticWeb:
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = os.environ.get("GRAFT_WORLD_TIER") \
+        or os.path.basename(os.path.normpath(sf_dir))
     nd, tp, nc, ns, lo, hi = _SCALES.get(tier, _DEFAULT_SCALE)
     # the corpus build is deterministic — cache it on disk so repeated
     # bench processes (e.g. the three --scaling levels) skip the ~20 s
