@@ -43,6 +43,12 @@ class CrawlConfig:
     # this many cached domains the broadcast is skipped and the gate falls
     # back to the batched robots-shard RPC path (crawl_stages.py gate fn).
     max_broadcast_rules: int = 200_000
+    # per-round metadata pass guard: under this many bytes of round output
+    # the per-domain clock/seq maxima are computed with one local narrow
+    # arrow read; above it a distributed per-batch partial pre-agg runs and
+    # only per-domain partials (bounded by active-domain count) reach the
+    # driver
+    max_local_meta_bytes: int = 256 * 1024 * 1024
     # budgets
     max_rounds: Optional[int] = None
     max_pages: Optional[int] = None

@@ -312,30 +312,63 @@ class CrawlDriver:
             for p, c in pp.items():
                 next_per_part[p] = next_per_part.get(p, 0) + c
 
-        # ONE narrow metadata read of the round output feeds the per-domain
-        # state update (every row of a domain carries the final clock/seq
-        # — max() per domain is exact) and the round counters; becomes a
-        # small Dataset groupby at cluster scale.
-        has_fetched = os.path.isdir(fetched_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(fetched_dir))
-        meta = pads.dataset(fetched_dir, format="parquet").to_table(
-            columns=["domain", "clock_after", "next_seq_after", "kind",
-                     "allowed", "stores_page"]) if has_fetched else None
-        n_fetched = meta.num_rows if meta is not None else 0
-        n_pages = len(meta.filter(
-            (pc.field("kind") == 0) |
-            (~pc.field("allowed") & pc.field("stores_page")))) \
-            if meta is not None else 0
-        if n_fetched:
+        # The per-domain state update (every row of a domain carries the
+        # final clock/seq — max() per domain is exact) and the round
+        # counters come from a narrow metadata pass over the round output.
+        # Under cfg.max_local_meta_bytes it's ONE local arrow read; above
+        # it, a distributed partial pre-agg (per-batch groupby max/sum in
+        # tasks, only per-domain partials — bounded by the active-domain
+        # count, never by row count — return to the driver).
+        meta_cols = ["domain", "clock_after", "next_seq_after", "kind",
+                     "allowed", "stores_page"]
+        meta_paths = [os.path.join(fetched_dir, f)
+                      for f in os.listdir(fetched_dir)
+                      if f.endswith(".parquet")] \
+            if os.path.isdir(fetched_dir) else []
+        n_fetched = n_pages = 0
+        dom_max: list = []  # (domain, clock_max, seq_max, n_rows)
+        if meta_paths and sum(os.path.getsize(p) for p in meta_paths) \
+                <= cfg.max_local_meta_bytes:
+            meta = pads.dataset(meta_paths, format="parquet") \
+                .to_table(columns=meta_cols)
+            n_fetched = meta.num_rows
+            n_pages = len(meta.filter(
+                (pc.field("kind") == 0) |
+                (~pc.field("allowed") & pc.field("stores_page"))))
             agg = meta.select(["domain", "clock_after", "next_seq_after"]) \
                 .group_by("domain").aggregate(
-                    [("clock_after", "max"), ("next_seq_after", "max")])
-            for d, c, s in zip(agg.column("domain").to_pylist(),
+                    [("clock_after", "max"), ("next_seq_after", "max"),
+                     ("domain", "count")])
+            dom_max = list(zip(agg.column("domain").to_pylist(),
                                agg.column("clock_after_max").to_pylist(),
-                               agg.column("next_seq_after_max").to_pylist()):
-                old = self.domain_state.get(
-                    d, (0, 0, any(d in s2 for s2 in cfg.seeds)))
-                self.domain_state[d] = (int(c), int(s), old[2])
+                               agg.column("next_seq_after_max").to_pylist(),
+                               agg.column("domain_count").to_pylist()))
+        elif meta_paths:
+            import pandas as _pd
+
+            def _partial(df: "_pd.DataFrame") -> "_pd.DataFrame":
+                is_page = (df["kind"] == 0) | \
+                    (~df["allowed"] & df["stores_page"])
+                g = df.groupby("domain").agg(
+                    clock=("clock_after", "max"),
+                    seq=("next_seq_after", "max"),
+                    n=("domain", "size"))
+                g["pages"] = is_page.groupby(df["domain"]).sum()
+                return g.reset_index()
+
+            parts = rd.read_parquet(meta_paths, columns=meta_cols) \
+                .map_batches(_partial, batch_format="pandas").to_pandas()
+            agg = parts.groupby("domain").agg(
+                clock=("clock", "max"), seq=("seq", "max"),
+                n=("n", "sum"), pages=("pages", "sum")).reset_index()
+            n_fetched = int(agg["n"].sum())
+            n_pages = int(agg["pages"].sum())
+            dom_max = list(zip(agg["domain"], agg["clock"], agg["seq"],
+                               agg["n"]))
+        for d, c, s, _n in dom_max:
+            old = self.domain_state.get(
+                d, (0, 0, any(d in s2 for s2 in cfg.seeds)))
+            self.domain_state[d] = (int(c), int(s), old[2])
 
         # content-hash DUPLICATE labels: resolved by the hash-winner shards
         # at end_round (one RPC per shard; they saw every observation)
@@ -378,18 +411,13 @@ class CrawlDriver:
         self.pages_total += n_pages
         self._snapshot(gen)
         # per-partition lineage: rows fetched per dpart this round (from
-        # the same narrow meta read) — a resumed or audited run can
-        # account for every partition's contribution
+        # the per-domain partials — dpart is a pure function of domain) —
+        # a resumed or audited run can account for every partition's
+        # contribution
         per_part: dict = {}
-        if meta is not None:
-            pp = pa.table({
-                "dpart": pa.array([shard_of_str(d, cfg.num_domain_partitions)
-                                   for d in meta.column("domain").to_pylist()],
-                                  pa.int32())}).group_by("dpart") \
-                .aggregate([([], "count_all")])
-            per_part = {str(d): int(n) for d, n in zip(
-                pp.column("dpart").to_pylist(),
-                pp.column("count_all").to_pylist())}
+        for d, _c, _s, n in dom_max:
+            k = str(shard_of_str(d, cfg.num_domain_partitions))
+            per_part[k] = per_part.get(k, 0) + int(n)
         _write_manifest(cfg.out_dir, gen, {
             "candidates": n_cand, "fetched": n_fetched, "pages": n_pages,
             "pages_total": self.pages_total, "next_candidates": n_next,

@@ -121,6 +121,20 @@ def test_links_join_path_matches_broadcast(oracle, engine_out, monkeypatch):
     assert o == e
 
 
+def test_distributed_meta_agg_conformance(world, oracle, ray_session):
+    """max_local_meta_bytes=0 forces the per-round distributed partial
+    pre-agg of domain clock/seq maxima; the crawl must still match the
+    oracle exactly (ordering depends on exact clock propagation)."""
+    out = "/tmp/ieps_test_crawl_dmeta"
+    shutil.rmtree(out, ignore_errors=True)
+    C.run_crawl(world, CrawlConfig(out_dir=out, seeds=list(world.seeds),
+                                   max_local_meta_bytes=0))
+    _assert_frames_equal(
+        oracle["pages"].to_pandas(), C.read_pages(out).to_pandas(),
+        ["url"], ["page_type", "http_status", "content_hash", "seq",
+                  "fetch_time"])
+
+
 def test_rules_rpc_fallback_conformance(world, oracle, ray_session):
     """max_broadcast_rules=0 disables the per-round rules broadcast; the
     gate runs entirely on the batched robots-shard RPC path and the crawl
