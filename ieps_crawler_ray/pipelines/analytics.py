@@ -78,10 +78,13 @@ def tpch_q1_pricing_summary(sf_dir: str):
 
 def orders_by_nation(sf_dir: str):
     """customer ⋈ orders ⋈ nation. The TRULY small side (nation, 25 rows)
-    is broadcast; customer is fact-scaled, so orders are first partially
-    pre-aggregated per custkey inside map_batches and then joined to
-    customer with a PARTITIONED hash join — no fact-scaled table is ever
-    materialized on the driver or broadcast (J3/J4 pattern split)."""
+    is always broadcast. The customer⋈orders side is ADAPTIVE on the
+    customer table's on-disk size (same broadcast-vs-join policy as
+    `_verify_jaccard_pairs`): under `_BROADCAST_LIMIT_BYTES` a
+    custkey→nationkey lookup rides the object store once (cheap at bench
+    scale); above it orders are partially pre-aggregated per custkey
+    inside map_batches and joined to customer with a PARTITIONED hash
+    join — no fact-scaled table ever reaches the driver (J3/J4 split)."""
     nation = pd.read_parquet(_pq(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
     nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
@@ -89,28 +92,50 @@ def orders_by_nation(sf_dir: str):
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("o_custkey", as_index=False).agg(
-            n_orders=("o_totalprice", "size"),
-            total_price=("o_totalprice", "sum"))
+    cust_path = _pq(sf_dir, "customer")
+    if os.path.getsize(cust_path) < _BROADCAST_LIMIT_BYTES:
+        cust = pd.read_parquet(cust_path,
+                               columns=["c_custkey", "c_nationkey"])
+        cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
 
-    per_cust = orders.map_batches(partial, batch_format="pandas",
-                                  batch_size=128 * 1024)
-    cust = rd.read_parquet(_pq(sf_dir, "customer"),
-                           columns=["c_custkey", "c_nationkey"])
-    joined = per_cust.join(cust, join_type="inner", num_partitions=8,
-                           on=("o_custkey",), right_on=("c_custkey",))
+        def agg_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            ck = ray.get(cust_ref)
+            nk = ray.get(nation_ref)
+            out = pd.DataFrame({
+                "n_name": batch["o_custkey"].map(ck).map(nk),
+                "o_totalprice": batch["o_totalprice"]})
+            return out.groupby("n_name", as_index=False).agg(
+                n_orders=("o_totalprice", "size"),
+                total_price=("o_totalprice", "sum"))
 
-    def tag_nation(batch: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(nation_ref)
-        return pd.DataFrame({"n_name": batch["c_nationkey"].map(lk),
-                             "n_orders": batch["n_orders"],
-                             "total_price": batch["total_price"]})
+        out = orders.map_batches(agg_batch, batch_format="pandas",
+                                 batch_size=128 * 1024) \
+            .groupby("n_name").aggregate(
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("total_price", alias_name="total_price")).to_pandas()
+    else:
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby("o_custkey", as_index=False).agg(
+                n_orders=("o_totalprice", "size"),
+                total_price=("o_totalprice", "sum"))
 
-    out = joined.map_batches(tag_nation, batch_format="pandas") \
-        .groupby("n_name").aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("total_price", alias_name="total_price")).to_pandas()
+        per_cust = orders.map_batches(partial, batch_format="pandas",
+                                      batch_size=128 * 1024)
+        cust_ds = rd.read_parquet(cust_path,
+                                  columns=["c_custkey", "c_nationkey"])
+        joined = per_cust.join(cust_ds, join_type="inner", num_partitions=8,
+                               on=("o_custkey",), right_on=("c_custkey",))
+
+        def tag_nation(batch: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(nation_ref)
+            return pd.DataFrame({"n_name": batch["c_nationkey"].map(lk),
+                                 "n_orders": batch["n_orders"],
+                                 "total_price": batch["total_price"]})
+
+        out = joined.map_batches(tag_nation, batch_format="pandas") \
+            .groupby("n_name").aggregate(
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("total_price", alias_name="total_price")).to_pandas()
     out["total_price"] = out["total_price"].round(2)
     return out[["n_name", "n_orders", "total_price"]]
 

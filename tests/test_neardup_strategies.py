@@ -32,6 +32,19 @@ def test_broadcast_and_join_strategies_agree(ray_session):
     assert len(_pairs(b)) == 40  # threshold 0 keeps every candidate
 
 
+def test_orders_by_nation_join_path_matches_broadcast(ray_session,
+                                                      monkeypatch):
+    """Force the partitioned-join plan (threshold 0): identical result to
+    the adaptive broadcast plan."""
+    sf = "/root/testdata/sf0.001"
+    b = A.orders_by_nation(sf)
+    monkeypatch.setattr(A, "_BROADCAST_LIMIT_BYTES", 0)
+    j = A.orders_by_nation(sf)
+    pd.testing.assert_frame_equal(
+        b.sort_values("n_name", ignore_index=True),
+        j.sort_values("n_name", ignore_index=True))
+
+
 def _degenerate_docs_dir(tmp_path, n=300):
     """A corpus of n IDENTICAL docs — every LSH band bucket collapses to
     one bucket of n, the classic uncapped-bucket blow-up input."""
