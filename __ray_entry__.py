@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_diversity": A.part_type_diversity,
         "lineitem_monthly_volume": A.lineitem_monthly_volume,
         "events_value_quantiles": A.events_value_quantiles,
+        # sampling / corpus statistics (SQL-checked)
+        "doc_hash_sample": A.doc_hash_sample,
+        "doc_stratified_sample": A.doc_stratified_sample,
+        "corpus_ngram_counts": A.corpus_ngram_counts,
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,

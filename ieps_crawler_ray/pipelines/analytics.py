@@ -263,6 +263,71 @@ def doc_exact_dedup(sf_dir: str):
         .select_columns(["doc_id", "n_copies"])
 
 
+def doc_hash_sample(sf_dir: str, mod: int = 10):
+    """Deterministic hash sampling (training-data subsetting): keep docs
+    whose md5-derived 64-bit key is ≡ 0 (mod ``mod``). Embarrassingly
+    parallel — a pure per-batch filter, no shuffle, reproducible across
+    runs and engines (same rows on Ray and in the SQL oracle)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = [T._h64_md5(str(i)) % mod == 0
+                for i in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_stratified_sample(sf_dir: str, per_stratum: int = 20):
+    """Stratified sampling: k docs per ``lang`` stratum, selected by a
+    deterministic hash order (md5(doc_id), doc_id). Scale shape: per-batch
+    partial top-k FIRST (bounded k×strata rows leave each block), then one
+    small groupby(lang) merge — the stratum shuffle never carries the full
+    table."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang"])
+
+    def rank_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["hkey"] = [T._h64_md5(str(i)) for i in batch["doc_id"]]
+        return batch.sort_values(["hkey", "doc_id"]) \
+            .groupby("lang", as_index=False).head(per_stratum)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["hkey", "doc_id"]).head(per_stratum)
+        return out[["doc_id", "lang"]]
+
+    return ds.map_batches(rank_key, batch_format="pandas") \
+        .groupby("lang").map_groups(merge, batch_format="pandas")
+
+
+def corpus_ngram_counts(sf_dir: str, top_k: int = 100):
+    """Corpus-wide bigram counts (combiner pattern): per-batch Counter
+    partial pre-agg inside map_batches — only distinct (ngram, n) partials
+    shuffle into the global groupby — then top-k by (n DESC, ngram). At
+    100 TB the partial pre-agg bounds the exchange by vocabulary, not by
+    token count."""
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"],
+                         override_num_blocks=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = T.TOKEN_RE.findall(t.lower())
+            c.update(" ".join(p) for p in zip(toks, toks[1:]))
+        return pa.table({"ngram": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ngram").aggregate(Sum("n", alias_name="n"))
+    out = agg.sort(["n", "ngram"], descending=[True, False]) \
+        .limit(top_k).to_pandas()
+    return out[["ngram", "n"]]
+
+
 def url_canonicalize(sf_dir: str):
     """M1/M2 over synthesized messy URLs derived from `documents` rows —
     SQL-checkable canonicalization parity."""
@@ -880,6 +945,30 @@ ORACLE_SQL = {
     "ngram_jaccard_neardup": _JACCARD_PAIRS_SQL,
     "doc_lang_id": _LANG_ID_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
+    "doc_hash_sample": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0
+    """,
+    "doc_stratified_sample": """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+            FROM documents) WHERE rn <= 20
+    """,
+    "corpus_ngram_counts": r"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(text), '\w+') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS ngram
+            FROM toks, UNNEST(range(1, len(w))) AS t(i)
+        )
+        SELECT ngram, COUNT(*) AS n FROM grams GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 100
+    """,
     "doc_simhash": "WITH " + _SIMHASH_CODES_SQL + """
         SELECT doc_id,
                CAST(CAST(code_u AS HUGEINT)
