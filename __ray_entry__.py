@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_page_data": F.crawl_page_data,
         "crawl_sites": F.crawl_sites,
         "crawl_degrees": F.crawl_degrees,
+        "crawl_pagerank": F.crawl_pagerank,
         "crawl_statistics": F.crawl_statistics,
         "image_decode_stats": F.image_decode_stats,
         "image_thumbnails": F.image_thumbnails,

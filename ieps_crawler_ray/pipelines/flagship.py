@@ -17,6 +17,7 @@ import tempfile
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -285,6 +286,215 @@ def crawl_degrees(sf_dir: str):
         .groupby("parent_url").aggregate(Count(alias_name="out_degree")) \
         .to_pandas()
     return deg.sort_values("parent_url").reset_index(drop=True)
+
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+_PR_ROUND = 12            # per-iteration decimal rounding: makes the
+#                           result independent of float summation order,
+#                           so engine / numpy / DuckDB agree bit-for-bit
+_PR_DANGLING = "\x00DANGLING"
+_PR_LOCAL_LIMIT_EDGES = 1_000_000
+
+
+def crawl_pagerank(sf_dir: str, iterations: int = _PR_ITERS,
+                   d: float = _PR_DAMP, strategy: str = None):
+    """PageRank over the crawl's deduplicated link graph (A3 extension —
+    the reference only mentions PageRank as an offline Gephi step,
+    ``report/report.tex:230-232``). Damping ``d``, uniform teleport,
+    dangling mass redistributed uniformly, fixed ``iterations``; every
+    iteration rounds to ``_PR_ROUND`` decimals so the fixpoint is exact
+    across engines. Returns (url, rank_ppb) with rank in parts-per-billion
+    (int64) for hash-stable comparison.
+
+    Adaptive (same policy as the other broadcast-vs-partitioned ops):
+    under ``_PR_LOCAL_LIMIT_EDGES`` the edge list is pulled once and
+    iterated vectorized on the driver; above it (or with
+    ``strategy='partitioned'``) the iterations run distributed — per-node
+    groupby contribution fan-out, partial-summed per destination — the
+    only shape that holds at 10^10 edges. A parity test pins both equal."""
+    edges_ds = C.read_links(_crawled(sf_dir))
+    if strategy != "partitioned" and \
+            edges_ds.count() <= _PR_LOCAL_LIMIT_EDGES:
+        ranks = _pagerank_local(edges_ds.to_pandas(), iterations, d)
+    else:
+        ranks = _pagerank_distributed(edges_ds, iterations, d)
+    # floor(x+0.5): identical half-way behavior in numpy and DuckDB
+    # (np.round is half-even, SQL ROUND is half-away — they disagree on
+    # exact .5 ppb boundaries)
+    ranks["rank_ppb"] = np.floor(ranks["rank"] * 1e9 + 0.5).astype("int64")
+    return ranks[["url", "rank_ppb"]] \
+        .sort_values("url").reset_index(drop=True)
+
+
+def _pagerank_local(edges: "pd.DataFrame", iterations: int,
+                    d: float) -> "pd.DataFrame":
+    import numpy as np
+
+    nodes = sorted(set(edges["parent_url"]) | set(edges["url"]))
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    src = np.fromiter((idx[u] for u in edges["parent_url"]), dtype=np.int64,
+                      count=len(edges))
+    dst = np.fromiter((idx[u] for u in edges["url"]), dtype=np.int64,
+                      count=len(edges))
+    deg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.bincount(dst, weights=r[src] / deg[src], minlength=n)
+        dangling = r[deg == 0].sum()
+        r = np.round((1 - d) / n + d * (contrib + dangling / n), _PR_ROUND)
+    return pd.DataFrame({"url": nodes, "rank": r})
+
+
+def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
+                          d: float) -> "pd.DataFrame":
+    """Distributed iterations: ranks live as a (node, deg, rank) Dataset;
+    each iteration is a groupby(node) contribution fan-out (rank/deg per
+    out-edge, dangling mass to a sentinel key) followed by a groupby(dst)
+    partial sum — two shuffles per iteration, nothing rank- or node-scaled
+    on the driver. materialize() per iteration bounds lineage growth (the
+    standard Ray Data iterative-algorithm pattern)."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def as_node(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column(col)})
+        return f
+
+    degs = edges.groupby("parent_url").aggregate(Count(alias_name="deg")) \
+        .map_batches(lambda b: pa.table({"node": b.column("parent_url"),
+                                         "deg": b.column("deg")}),
+                     batch_format="pyarrow")
+    nodes = edges.map_batches(as_node("parent_url"),
+                              batch_format="pyarrow") \
+        .union(edges.map_batches(as_node("url"), batch_format="pyarrow")) \
+        .groupby("node").count().select_columns(["node"])
+    n = nodes.count()
+    nd = nodes.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "deg": pa.array([0] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow").union(degs) \
+        .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+
+    r0 = 1.0 / n
+    ranks = nd.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array([r0] * b.num_rows, pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    def to_edge(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("parent_url"),
+                         "dst": b.column("url"),
+                         "rank": pa.nulls(b.num_rows, pa.float64()),
+                         "deg": pa.nulls(b.num_rows, pa.int64())})
+
+    def to_rank(b: pa.Table) -> pa.Table:
+        return pa.table({"key": b.column("node"),
+                         "dst": pa.nulls(b.num_rows, pa.string()),
+                         "rank": b.column("rank"),
+                         "deg": b.column("deg")})
+
+    def contrib(g: "pd.DataFrame") -> "pd.DataFrame":
+        # one group per node: its rank row + its out-edge rows. Emits the
+        # contribution rows PLUS a self row that carries deg and keeps
+        # zero-in-degree nodes present, PLUS a sentinel row for dangling
+        # mass — so ONE downstream groupby(dst) rebuilds the whole
+        # (node, deg, rank-sum) state (a single shuffle per iteration).
+        rrow = g[g["rank"].notna()]
+        es = g[g["rank"].isna()]
+        r = float(rrow["rank"].iloc[0])
+        dg = int(rrow["deg"].iloc[0])
+        node = str(rrow["key"].iloc[0])
+        dsts = [node]
+        cs = [0.0]
+        degs_out = [dg]
+        if dg == 0:
+            dsts.append(_PR_DANGLING)
+            cs.append(r)
+            degs_out.append(0)
+        else:
+            dsts.extend(es["dst"])
+            cs.extend([r / dg] * len(es))
+            degs_out.extend([0] * len(es))
+        return pd.DataFrame({"dst": dsts, "c": cs, "deg": degs_out})
+
+    # materialize the static edge side ONCE: without pinning, every
+    # iteration would re-run its full upstream lineage (including
+    # read_links' own shuffles)
+    tagged_edges = edges.map_batches(to_edge,
+                                     batch_format="pyarrow").materialize()
+    for _ in range(iterations):
+        summed = tagged_edges.union(
+            ranks.map_batches(to_rank, batch_format="pyarrow")) \
+            .groupby("key").map_groups(contrib, batch_format="pandas") \
+            .groupby("dst").aggregate(Sum("c", alias_name="c"),
+                                      Sum("deg", alias_name="deg")) \
+            .materialize()
+        dang_tbl = summed.map_batches(
+            lambda b: b.filter(pc.equal(b.column("dst"), _PR_DANGLING)),
+            batch_format="pyarrow").to_pandas()
+        dangling = float(dang_tbl["c"].sum()) if len(dang_tbl) else 0.0
+
+        def finish(b: pa.Table, _dang=dangling) -> pa.Table:
+            t = b.filter(pc.not_equal(b.column("dst"), _PR_DANGLING))
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            r = np.round((1 - d) / n + d * (c + _dang / n), _PR_ROUND)
+            return pa.table({"node": t.column("dst"),
+                             "deg": t.column("deg"),
+                             "rank": pa.array(r, pa.float64())})
+
+        # cheap map lineage over the materialized base — next iteration's
+        # union re-reads pinned blocks, not shuffles
+        ranks = summed.map_batches(finish, batch_format="pyarrow")
+
+    out = ranks.select_columns(["node", "rank"]).to_pandas()
+    return out.rename(columns={"node": "url"})
+
+
+def _pagerank_oracle_sql(links_path: str, iterations: int = _PR_ITERS,
+                         d: float = _PR_DAMP) -> str:
+    """Fixed-iteration PageRank as chained CTEs (same rounding protocol as
+    the engine) over the oracle crawler's exported links table."""
+    head = f"""
+        WITH e AS MATERIALIZED (SELECT from_url AS src, to_url AS dst
+                   FROM read_parquet('{links_path}')),
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM
+                  (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+        outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nd AS MATERIALIZED (SELECT node, COALESCE(deg, 0) AS deg
+               FROM nodes LEFT JOIN outdeg ON node = src),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, deg,
+                   1.0 / (SELECT n FROM nn) AS rank FROM nd)
+    """
+    its = []
+    for k in range(1, iterations + 1):
+        p = f"r{k - 1}"
+        its.append(f"""
+        , r{k} AS MATERIALIZED (
+            SELECT nd.node, nd.deg,
+                   ROUND((1 - {d}) / (SELECT n FROM nn)
+                     + {d} * (COALESCE(c.contrib, 0)
+                       + (SELECT COALESCE(SUM(rank), 0) FROM {p}
+                          WHERE deg = 0) / (SELECT n FROM nn)),
+                     {_PR_ROUND}) AS rank
+            FROM nd LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank / r.deg) AS contrib
+                FROM e JOIN {p} r ON e.src = r.node GROUP BY e.dst
+            ) c ON nd.node = c.node)
+        """)
+    tail = f"""
+        SELECT node AS url,
+               CAST(FLOOR(rank * 1e9 + 0.5) AS BIGINT) AS rank_ppb
+        FROM r{iterations}
+    """
+    return head + "".join(its) + tail
+
+
+CRAWL_ORACLE_SQL["crawl_pagerank"] = _pagerank_oracle_sql(
+    f"{_X}/links.parquet")
 
 
 def crawl_sites(sf_dir: str):

@@ -45,6 +45,23 @@ def test_orders_by_nation_join_path_matches_broadcast(ray_session,
         j.sort_values("n_name", ignore_index=True))
 
 
+def test_pagerank_distributed_matches_local(ray_session):
+    """The distributed PageRank iterations (groupby contribution fan-out,
+    two shuffles per iteration) produce exactly the local vectorized
+    result — the per-iteration decimal rounding makes the fixpoint
+    independent of summation order."""
+    from ieps_crawler_ray.pipelines import flagship as F
+
+    sf = "/root/testdata/sf0.001"
+    # 2 iterations: exercises the full machinery INCLUDING iteration
+    # chaining; 10 iterations verified identical once (each distributed
+    # iteration costs ~2 shuffle rounds, latency-bound on this host)
+    local = F.crawl_pagerank(sf, iterations=2)
+    dist = F.crawl_pagerank(sf, iterations=2, strategy="partitioned")
+    pd.testing.assert_frame_equal(local, dist)
+    assert local["rank_ppb"].sum() > 0
+
+
 def _degenerate_docs_dir(tmp_path, n=300):
     """A corpus of n IDENTICAL docs — every LSH band bucket collapses to
     one bucket of n, the classic uncapped-bucket blow-up input."""
