@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hash_sample": A.doc_hash_sample,
         "doc_stratified_sample": A.doc_stratified_sample,
         "corpus_ngram_counts": A.corpus_ngram_counts,
+        "embedding_centroids": A.embedding_centroids,
+        "doc_text_normalize": A.doc_text_normalize,
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,

@@ -19,6 +19,7 @@ URL canonicalization (M1/M2) and the crawl flagship itself.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -326,6 +327,73 @@ def corpus_ngram_counts(sf_dir: str, top_k: int = 100):
     out = agg.sort(["n", "ngram"], descending=[True, False]) \
         .limit(top_k).to_pandas()
     return out[["ngram", "n"]]
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column (vector combiner
+    pattern): each batch contributes a (label, dim, partial_sum, n)
+    long-format partial computed with ONE zero-copy numpy reshape of the
+    Arrow list buffer — the shuffle carries labels × dims rows, never the
+    vectors. Output dims in integer micro-units (floor(x·1e6+0.5)) for
+    cross-engine hash stability."""
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("embedding").combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # single chunk post-combine
+            arr = arr.chunk(0)
+        dim = len(arr[0])
+        m = arr.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, dim)
+        labels = b.column("label").to_numpy(zero_copy_only=False)
+        out_l, out_d, out_s, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            rows = m[labels == lab]
+            out_l.extend([int(lab)] * dim)
+            out_d.extend(range(dim))
+            out_s.extend(rows.sum(axis=0))
+            out_n.extend([len(rows)] * dim)
+        return pa.table({"label": pa.array(out_l, pa.int32()),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.float64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(Sum("s", alias_name="s"),
+                                             Sum("n", alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b.column("s").to_numpy(zero_copy_only=False) / \
+            b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": b.column("label"), "dim": b.column("dim"),
+            "centroid_micros": pa.array(
+                np.floor(c * 1e6 + 0.5).astype(np.int64), pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_NORM_WS = re.compile(r"\s+")
+_NORM_CTRL = re.compile(r"[\x00-\x1f\x7f]")
+
+
+def doc_text_normalize(sf_dir: str):
+    """Text cleaning stage (training-data prep): lowercase, strip control
+    characters, collapse whitespace runs, trim. Pure per-batch transform
+    — no shuffle; identical regex semantics in the SQL oracle."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = [_NORM_WS.sub(" ", _NORM_CTRL.sub("", t.lower())).strip()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "norm_text": pa.array(out, pa.string()),
+                         "norm_len": pa.array([len(t) for t in out],
+                                              pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def url_canonicalize(sf_dir: str):
@@ -956,6 +1024,28 @@ ORACLE_SQL = {
                        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
                                 doc_id) AS rn
             FROM documents) WHERE rn <= 20
+    """,
+    "embedding_centroids": """
+        WITH u AS (
+            SELECT label, i AS dim1,
+                   CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        )
+        SELECT label, CAST(dim1 - 1 AS BIGINT) AS dim,
+               CAST(FLOOR(SUM(v) / COUNT(*) * 1e6 + 0.5) AS BIGINT)
+                   AS centroid_micros
+        FROM u GROUP BY label, dim1
+    """,
+    "doc_text_normalize": r"""
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                   lower(text), '[\x00-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g')) AS norm_text,
+               LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                   lower(text), '[\x00-\x1f\x7f]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS norm_len
+        FROM documents
     """,
     "corpus_ngram_counts": r"""
         WITH toks AS (
