@@ -68,10 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_ngram_counts": A.corpus_ngram_counts,
         "embedding_centroids": A.embedding_centroids,
         "doc_text_normalize": A.doc_text_normalize,
+        "neardup_clusters": A.neardup_clusters,
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,
-        # dedup / fingerprints / language (rows-only)
+        # dedup / fingerprints / language (SQL-checked)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
         "simhash_neardup": A.simhash_neardup,
         "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
@@ -79,7 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": A.doc_simhash,
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,
-        # crawl engine + multimodal (rows-only)
+        # crawl engine + multimodal (SQL-checked vs the
+        # single-threaded oracle crawler's exported tables)
         "crawl_flagship": F.crawl_flagship,
         "crawl_order": F.crawl_order_check,
         "crawl_links": F.crawl_links,

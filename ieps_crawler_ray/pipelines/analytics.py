@@ -329,6 +329,97 @@ def corpus_ngram_counts(sf_dir: str, top_k: int = 100):
     return out[["ngram", "n"]]
 
 
+_CLUSTER_LOCAL_LIMIT_PAIRS = 10_000_000
+
+
+def neardup_clusters(sf_dir: str, strategy: str = None):
+    """Near-duplicate clustering: connected components over the verified
+    MinHash near-dup pairs; every member maps to its component's minimum
+    doc_id (the canonical representative a dedup pass would keep).
+
+    Adaptive like the other two-path ops: verified near-dup pairs are a
+    tiny fraction of the corpus, so under ``_CLUSTER_LOCAL_LIMIT_PAIRS``
+    a driver-side union-find runs on the collected pairs; above it (or
+    with ``strategy='labelprop'``) distributed min-label propagation runs
+    over the pair graph — two shuffles per sweep, O(component diameter)
+    sweeps, nothing pair-scaled on the driver. Parity test pins both."""
+    pairs = minhash_lsh_neardup(sf_dir)
+    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    if strategy != "labelprop" and len(pdf) <= _CLUSTER_LOCAL_LIMIT_PAIRS:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = sorted(set(pdf["doc_a"]) | set(pdf["doc_b"]))
+        out = pd.DataFrame({
+            "doc_id": pd.array(members, dtype="int64"),
+            "cluster_id": pd.array([find(int(m)) for m in members],
+                                   dtype="int64")})
+        return out
+    return _clusters_labelprop(pdf)
+
+
+def _clusters_labelprop(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Distributed min-label propagation: labels live as a Dataset; each
+    sweep joins neighbor labels through a groupby fan-out and keeps the
+    per-node minimum, until a sweep changes nothing."""
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": pd.concat([pdf["doc_a"], pdf["doc_b"]], ignore_index=True),
+        "dst": pd.concat([pdf["doc_b"], pdf["doc_a"]], ignore_index=True),
+    })).map_batches(lambda b: b, batch_format="pyarrow").materialize()
+    labels = edges.map_batches(
+        lambda b: pa.table({"node": b.column("src"),
+                            "lab": b.column("src")}),
+        batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("lab", alias_name="lab")) \
+        .materialize()
+    while True:
+        def to_edge(b: pa.Table) -> pa.Table:
+            return pa.table({"key": b.column("src"),
+                             "dst": b.column("dst"),
+                             "lab": pa.nulls(b.num_rows, pa.int64())})
+
+        def to_lab(b: pa.Table) -> pa.Table:
+            return pa.table({"key": b.column("node"),
+                             "dst": pa.nulls(b.num_rows, pa.int64()),
+                             "lab": b.column("lab")})
+
+        def fan_out(g: pd.DataFrame) -> pd.DataFrame:
+            lab = int(g.loc[g["lab"].notna(), "lab"].iloc[0])
+            es = g[g["lab"].isna()]
+            # own label rides along under the node's own key
+            return pd.DataFrame({
+                "node": [int(g["key"].iloc[0])] + list(es["dst"]),
+                "lab": [lab] * (1 + len(es))})
+
+        new_labels = edges.map_batches(to_edge, batch_format="pyarrow") \
+            .union(labels.map_batches(to_lab, batch_format="pyarrow")) \
+            .groupby("key").map_groups(fan_out, batch_format="pandas") \
+            .groupby("node").aggregate(Min("lab", alias_name="lab")) \
+            .materialize()
+        # convergence: did any label shrink? (tiny n-node comparison via
+        # a join-free checksum: sum of labels strictly decreases until
+        # the fixpoint)
+        old_sum = labels.sum("lab")
+        new_sum = new_labels.sum("lab")
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+    out = labels.to_pandas().rename(
+        columns={"node": "doc_id", "lab": "cluster_id"})
+    return out.astype({"doc_id": "int64", "cluster_id": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def embedding_centroids(sf_dir: str):
     """Per-label centroid of the embedding column (vector combiner
     pattern): each batch contributes a (label, dim, partial_sum, n)
@@ -733,6 +824,41 @@ _JACCARD_PAIRS_SQL = r"""
           >= 0.5 * len(list_distinct(list_concat(a.s, b.s)))
 """
 
+# Connected components over the same verified near-dup pair set:
+# recursive min-label closure (labels spread along bidirected edges until
+# fixpoint; MIN per node = component representative).
+_CLUSTERS_SQL = r"""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+        FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.s) * 2 >= len(b.s) AND len(b.s) * 2 >= len(a.s)
+          AND len(list_intersect(a.s, b.s))
+              >= 0.5 * len(list_distinct(list_concat(a.s, b.s)))
+    ),
+    e AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, r.lab FROM e JOIN reach r ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id
+    FROM reach GROUP BY node
+"""
+
 # SimHash codes recomputed in SQL: md5_number_lower(token) matches
 # functions/text.py:_h64_md5; code bit k = sign of the +/-1 vote sum over
 # bit k across distinct tokens; signed int64 via HUGEINT wraparound.
@@ -1012,6 +1138,7 @@ ORACLE_SQL = {
     "minhash_lsh_neardup": _JACCARD_PAIRS_SQL,
     "ngram_jaccard_neardup": _JACCARD_PAIRS_SQL,
     "doc_lang_id": _LANG_ID_SQL,
+    "neardup_clusters": _CLUSTERS_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "doc_hash_sample": """
         SELECT doc_id, lang, n_chars FROM documents

@@ -62,6 +62,20 @@ def test_pagerank_distributed_matches_local(ray_session):
     assert local["rank_ppb"].sum() > 0
 
 
+def test_neardup_clusters_labelprop_matches_unionfind(ray_session):
+    """Distributed min-label propagation == driver-side union-find on the
+    same verified near-dup pair graph."""
+    sf = "/root/testdata/sf0.001"
+    uf = A.neardup_clusters(sf)
+    lp = A.neardup_clusters(sf, strategy="labelprop")
+    pd.testing.assert_frame_equal(
+        uf.sort_values("doc_id", ignore_index=True),
+        lp.sort_values("doc_id", ignore_index=True))
+    assert len(uf) > 0
+    # representatives are component minima
+    assert (uf["cluster_id"] <= uf["doc_id"]).all()
+
+
 def _degenerate_docs_dir(tmp_path, n=300):
     """A corpus of n IDENTICAL docs — every LSH band bucket collapses to
     one bucket of n, the classic uncapped-bucket blow-up input."""
