@@ -324,7 +324,16 @@ def corpus_ngram_counts(sf_dir: str, top_k: int = 100):
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("ngram").aggregate(Sum("n", alias_name="n"))
-    out = agg.sort(["n", "ngram"], descending=[True, False]) \
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        # global top-k ⊆ union of per-block top-k (each ngram's total
+        # count lives in exactly one post-groupby block), so the final
+        # sort sees blocks×k rows, never the vocabulary
+        return b.sort_values(["n", "ngram"],
+                             ascending=[False, True]).head(top_k)
+
+    out = agg.map_batches(local_topk, batch_format="pandas") \
+        .sort(["n", "ngram"], descending=[True, False]) \
         .limit(top_k).to_pandas()
     return out[["ngram", "n"]]
 
