@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": A.embedding_centroids,
         "doc_text_normalize": A.doc_text_normalize,
         "neardup_clusters": A.neardup_clusters,
+        "events_asof_join": A.events_asof_join,
+        "events_range_join": A.events_range_join,
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,

@@ -429,6 +429,78 @@ def _clusters_labelprop(pdf: "pd.DataFrame") -> "pd.DataFrame":
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def events_asof_join(sf_dir: str):
+    """As-of join (an operator Ray Data lacks — composed per the brief as
+    sort + groupby().map_groups): for each ``purchase`` event, the most
+    recent ``click`` by the same user at or before it. Partitioned by
+    user_id — each group sorts its own bounded history and answers every
+    probe with one vectorized searchsorted. Ties on ts break to the
+    highest event_id (pinned in both engines). Output lag in integer
+    microseconds; -1 sentinels where no prior click exists (keeps int64
+    columns null-free for hash-stable comparison)."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(["purchase", "click"]))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["event_type"] == "purchase"].sort_values("event_id")
+        b = g[g["event_type"] == "click"] \
+            .sort_values(["ts", "event_id"])
+        if a.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "prior_event_id": pd.Series([],
+                                                            dtype="int64"),
+                                 "lag_us": pd.Series([], dtype="int64")})
+        bt = b["ts"].to_numpy()
+        idx = np.searchsorted(bt, a["ts"].to_numpy(), side="right") - 1
+        has = idx >= 0
+        prior_id = np.where(has, b["event_id"].to_numpy()[idx], -1)
+        lag = np.where(
+            has,
+            (a["ts"].to_numpy() - bt[np.maximum(idx, 0)])
+            .astype("timedelta64[us]").astype(np.int64),
+            -1)
+        return pd.DataFrame({"event_id": a["event_id"].to_numpy(),
+                             "user_id": a["user_id"].to_numpy(),
+                             "prior_event_id": prior_id.astype(np.int64),
+                             "lag_us": lag.astype(np.int64)})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# static value bands for the range-join demo (small side, broadcast)
+_VALUE_BANDS = [("tiny", 0.0, 1.0), ("small", 1.0, 10.0),
+                ("mid", 10.0, 100.0), ("large", 100.0, 1000.0)]
+
+
+def events_range_join(sf_dir: str):
+    """Range (non-equi) join: classify events into value bands
+    [lo, hi) — the broadcast-small-side interval-join pattern (the band
+    table rides the closure; each batch answers with one vectorized
+    searchsorted). A big-big interval join would bin both sides to a
+    shared grid first; the bands here are the small side by construction."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    edges = np.array([b[1] for b in _VALUE_BANDS] +
+                     [_VALUE_BANDS[-1][2]])
+    names = np.array([b[0] for b in _VALUE_BANDS])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy()
+        idx = np.searchsorted(edges, v, side="right") - 1
+        ok = (idx >= 0) & (idx < len(names))
+        out = pd.DataFrame({"event_type": batch["event_type"][ok],
+                            "band": names[idx[ok]]})
+        return out.groupby(["event_type", "band"], as_index=False) \
+            .agg(n=("band", "size"))
+
+    return ds.map_batches(fn, batch_format="pandas") \
+        .groupby(["event_type", "band"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+
 def embedding_centroids(sf_dir: str):
     """Per-label centroid of the embedding column (vector combiner
     pattern): each batch contributes a (label, dim, partial_sum, n)
@@ -1148,6 +1220,29 @@ ORACLE_SQL = {
     "ngram_jaccard_neardup": _JACCARD_PAIRS_SQL,
     "doc_lang_id": _LANG_ID_SQL,
     "neardup_clusters": _CLUSTERS_SQL,
+    "events_asof_join": """
+        WITH a AS (SELECT event_id, ts, user_id FROM events
+                   WHERE event_type = 'purchase'),
+             b AS (SELECT event_id, ts, user_id FROM events
+                   WHERE event_type = 'click')
+        SELECT a.event_id, a.user_id,
+               COALESCE(b.event_id, -1) AS prior_event_id,
+               COALESCE(CAST(date_diff('microsecond', b.ts, a.ts)
+                             AS BIGINT), -1) AS lag_us
+        FROM a LEFT JOIN b
+          ON a.user_id = b.user_id AND b.ts <= a.ts
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY a.event_id
+            ORDER BY b.ts DESC, b.event_id DESC) = 1
+    """,
+    "events_range_join": """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('tiny', 0.0, 1.0), ('small', 1.0, 10.0),
+            ('mid', 10.0, 100.0), ('large', 100.0, 1000.0))
+        SELECT e.event_type, b.band, COUNT(*) AS n
+        FROM events e JOIN bands b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY e.event_type, b.band
+    """,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "doc_hash_sample": """
         SELECT doc_id, lang, n_chars FROM documents
