@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_statistics": F.crawl_statistics,
         "image_decode_stats": F.image_decode_stats,
         "image_thumbnails": F.image_thumbnails,
+        "audio_features": F.audio_features,
+        "video_frames": F.video_frames,
     }
 
 

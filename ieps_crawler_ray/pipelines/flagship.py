@@ -152,6 +152,12 @@ def ensure_oracle_export(sf_dir: str) -> str:
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     pq.write_table(build_corpus_rows(nc).select(["image_id", "w", "h", "fmt"]),
                    os.path.join(out, "corpus.parquet"))
+    # audio/video corpus-contract oracles: expected stage outputs computed
+    # WITHOUT Ray (pure decode + DSP over the same deterministic corpora)
+    pq.write_table(_audio_expected(nc),
+                   os.path.join(out, "audio_expected.parquet"))
+    pq.write_table(_video_expected(max(nc // 4, 4)),
+                   os.path.join(out, "video_expected.parquet"))
     tmp = marker + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"version": version, "tier": tier}, f)
@@ -196,6 +202,15 @@ CRAWL_ORACLE_SQL = {
     "crawl_degrees": f"""
         SELECT from_url AS parent_url, COUNT(*) AS out_degree
         FROM read_parquet('{_X}/links.parquet') GROUP BY from_url
+    """,
+    "audio_features": f"""
+        SELECT audio_id, n_samples, sample_rate, rms0_micros, rms1_micros,
+               rms2_micros, rms3_micros
+        FROM read_parquet('{_X}/audio_expected.parquet')
+    """,
+    "video_frames": f"""
+        SELECT video_id, frame_idx, w, h, frame_hash
+        FROM read_parquet('{_X}/video_expected.parquet')
     """,
     "image_decode_stats": f"""
         SELECT fmt, COUNT(*) AS n, COUNT(*) AS n_ok
@@ -286,6 +301,144 @@ def crawl_degrees(sf_dir: str):
         .groupby("parent_url").aggregate(Count(alias_name="out_degree")) \
         .to_pandas()
     return deg.sort_values("parent_url").reset_index(drop=True)
+
+
+def _audio_corpus(n: int) -> pa.Table:
+    """Deterministic WAV corpus: clip i = procedural sine mix encoded as
+    RIFF/PCM16, alternating 8k/16k sample rates."""
+    from ..functions import audio_codec as ac
+
+    ids, blobs = [], []
+    for i in range(n):
+        sr = 16_000 if i % 2 == 0 else 8_000
+        ids.append(f"aud{i:06d}")
+        blobs.append(ac.encode_wav(ac.procedural_wave(i, sample_rate=sr),
+                                   sr))
+    return pa.table({"audio_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(blobs, pa.large_binary())})
+
+
+def _audio_expected(n: int) -> pa.Table:
+    """Expected audio_features output computed WITHOUT Ray (pure decode +
+    DSP) — the corpus-contract oracle for the actor-pool stage."""
+    from ..functions import audio_codec as ac
+
+    corpus = _audio_corpus(n)
+    rows = {"audio_id": [], "n_samples": [], "sample_rate": [],
+            "rms0": [], "rms1": [], "rms2": [], "rms3": []}
+    for i in range(corpus.num_rows):
+        wave, sr = ac.decode_wav(corpus.column("bytes")[i].as_py())
+        rows["audio_id"].append(corpus.column("audio_id")[i].as_py())
+        rows["n_samples"].append(len(wave))
+        rows["sample_rate"].append(sr)
+        # float32 feature path mirrors the stage's list<float32> column
+        r = ac.band_rms(wave, 4).astype(np.float32).astype(np.float64)
+        for k in range(4):
+            rows[f"rms{k}"].append(int(np.floor(r[k] * 1e6 + 0.5)))
+    return pa.table({
+        "audio_id": pa.array(rows["audio_id"], pa.string()),
+        "n_samples": pa.array(rows["n_samples"], pa.int64()),
+        "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+        **{f"rms{k}_micros": pa.array(rows[f"rms{k}"], pa.int64())
+           for k in range(4)}})
+
+
+def audio_features(sf_dir: str):
+    """Audio featurization as an actor-pool map_batches stage with REAL
+    WAV decode: corpus bytes -> waveform -> per-band RMS (int micro-units
+    for hash stability). Small batches: binary rows are wide."""
+    from ..stages.multimodal import AudioFeatureStage
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    n = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    ds = rd.from_arrow(_audio_corpus(n)).map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"codec": "wav", "n_bands": 4},
+        batch_format="pyarrow", batch_size=32, concurrency=2)
+
+    def widen(b: pa.Table) -> pa.Table:
+        feats = np.array(b.column("features").to_pylist(),
+                         dtype=np.float64)
+        cols = {"audio_id": b.column("audio_id"),
+                "n_samples": b.column("n_samples"),
+                "sample_rate": b.column("sample_rate")}
+        for k in range(4):
+            cols[f"rms{k}_micros"] = pa.array(
+                np.floor(feats[:, k] * 1e6 + 0.5).astype(np.int64),
+                pa.int64())
+        return pa.table(cols)
+
+    out = ds.map_batches(widen, batch_format="pyarrow").to_pandas()
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+def _video_corpus(n: int) -> pa.Table:
+    """Deterministic Y4M corpus: clip i = moving-gradient frames."""
+    from ..functions import video_codec as vc
+
+    ids, blobs = [], []
+    for i in range(n):
+        ids.append(f"vid{i:06d}")
+        blobs.append(vc.encode_y4m(vc.procedural_video(i)))
+    return pa.table({"video_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(blobs, pa.large_binary())})
+
+
+def _frame_hash(data: bytes) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8).digest(), "big", signed=False) \
+        - (1 << 63)
+
+
+def _video_expected(n: int) -> pa.Table:
+    """Expected video_frames output computed WITHOUT Ray."""
+    from ..functions import image_codec as ic
+    from ..functions import video_codec as vc
+
+    corpus = _video_corpus(n)
+    vids, idxs, ws, hs, hsh = [], [], [], [], []
+    for i in range(corpus.num_rows):
+        frames, _fps = vc.decode_y4m(corpus.column("bytes")[i].as_py())
+        for idx in range(0, len(frames), 10):
+            fr = frames[idx]
+            vids.append(corpus.column("video_id")[i].as_py())
+            idxs.append(idx)
+            ws.append(fr.shape[1])
+            hs.append(fr.shape[0])
+            hsh.append(_frame_hash(ic.encode_image(fr, "bmp")))
+    return pa.table({"video_id": pa.array(vids, pa.string()),
+                     "frame_idx": pa.array(idxs, pa.int32()),
+                     "w": pa.array(ws, pa.int32()),
+                     "h": pa.array(hs, pa.int32()),
+                     "frame_hash": pa.array(hsh, pa.int64())})
+
+
+def video_frames(sf_dir: str):
+    """Video frame sampling as an actor-pool flat-map stage with REAL Y4M
+    demux/decode: 1 clip row -> N sampled-frame rows (bmp-encoded,
+    hashed for comparison)."""
+    from ..stages.multimodal import VideoFrameSampleStage
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    n = max(_SCALES.get(tier, _DEFAULT_SCALE)[2] // 4, 4)
+    ds = rd.from_arrow(_video_corpus(n)).map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"codec": "y4m", "stride": 10},
+        batch_format="pyarrow", batch_size=8, concurrency=2)
+
+    def hash_frames(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "video_id": b.column("video_id"),
+            "frame_idx": b.column("frame_idx"),
+            "w": b.column("w"), "h": b.column("h"),
+            "frame_hash": pa.array(
+                [_frame_hash(v.as_py()) for v in b.column("frame")],
+                pa.int64())})
+
+    out = ds.map_batches(hash_frames, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
 
 
 _PR_ITERS = 10

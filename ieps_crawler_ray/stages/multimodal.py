@@ -9,11 +9,15 @@ heap), per-actor setup (codec tables, models) happens once in
 ``__init__``.
 
 The image path is REAL (the deterministic pure-numpy codecs from
-``functions/image_codec``). Audio/video decode is STUBBED: the container
-ships no codec libraries, so ``codec="real"`` raises NotImplementedError
-while the default deterministic fake decoder exercises the full Ray-side
-plumbing — schema, actor signature, batch shapes, output layout — exactly
-as a production codec would.
+``functions/image_codec``). Audio ``codec="wav"`` and video
+``codec="y4m"`` are REAL too: RIFF/PCM16 and YUV4MPEG2 are standard
+uncompressed interchange formats fully parseable in pure numpy
+(``functions/audio_codec`` / ``functions/video_codec``). Compressed
+formats (mp3/h264/...) remain stubbed: ``codec="real"`` raises
+NotImplementedError at the documented integration point, and the
+deterministic fake decoder exercises the Ray-side plumbing — schema,
+actor signature, batch shapes, output layout — exactly as a production
+codec would.
 """
 
 from __future__ import annotations
@@ -79,44 +83,49 @@ AUDIO_FEATURE_SCHEMA = pa.schema([
 
 
 class AudioFeatureStage:
-    """Audio bytes -> frame features. ``codec="fake"`` (default) derives a
-    deterministic pseudo-waveform from the payload hash so the pipeline
-    shape is fully testable; ``codec="real"`` is the integration point for
-    an actual decoder (not available in this container)."""
+    """Audio bytes -> clip features. ``codec="wav"`` REALLY decodes
+    RIFF/PCM16 (``functions/audio_codec``); ``codec="fake"`` derives a
+    deterministic pseudo-waveform from the payload hash (plumbing tests);
+    ``codec="real"`` is the integration point for compressed formats (no
+    mp3/ogg library in this container)."""
 
     def __init__(self, codec: str = "fake", n_bands: int = 8,
                  sample_rate: int = 16_000):
-        if codec not in ("fake", "real"):
+        if codec not in ("fake", "wav", "real"):
             raise ValueError(f"unknown codec {codec!r}")
+        from ..functions import audio_codec as ac
+        self.ac = ac
         self.codec = codec
         self.n_bands = n_bands
         self.sample_rate = sample_rate
 
-    def _decode(self, data: bytes) -> np.ndarray:
+    def _decode(self, data: bytes):
         if self.codec == "real":
             raise NotImplementedError(
-                "no audio codec library in this environment; plug a real "
-                "decoder here (bytes -> float32 waveform)")
+                "no compressed-audio library in this environment; plug a "
+                "real decoder here (bytes -> float32 waveform). WAV "
+                "payloads decode for real via codec='wav'.")
+        if self.codec == "wav":
+            return self.ac.decode_wav(data)
         seed = int.from_bytes(
             hashlib.blake2b(data, digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)
         n = 1 + (seed % 4096)
-        return rng.standard_normal(n).astype(np.float32)
+        return rng.standard_normal(n).astype(np.float32), self.sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, ns, feats = [], [], []
+        ids, ns, srs, feats = [], [], [], []
         for i in range(batch.num_rows):
             ids.append(batch.column("audio_id")[i].as_py())
-            wave = self._decode(batch.column("bytes")[i].as_py())
+            wave, sr = self._decode(batch.column("bytes")[i].as_py())
             ns.append(len(wave))
-            bands = np.array_split(wave, self.n_bands)
-            feats.append([float(np.sqrt(np.mean(b * b))) if len(b) else 0.0
-                          for b in bands])
+            srs.append(sr)
+            feats.append([float(x)
+                          for x in self.ac.band_rms(wave, self.n_bands)])
         return pa.table({
             "audio_id": pa.array(ids, pa.string()),
             "n_samples": pa.array(ns, pa.int64()),
-            "sample_rate": pa.array([self.sample_rate] * len(ids),
-                                    pa.int32()),
+            "sample_rate": pa.array(srs, pa.int32()),
             "features": pa.array(feats, pa.list_(pa.float32())),
         }, schema=AUDIO_FEATURE_SCHEMA)
 
@@ -132,16 +141,20 @@ VIDEO_FRAME_SCHEMA = pa.schema([
 
 class VideoFrameSampleStage:
     """Video bytes -> every ``stride``-th frame as an encoded image row
-    (1 input row -> N output rows: the flat-map shape). Fake codec derives
-    deterministic frames from the payload hash; ``codec="real"`` raises
-    NotImplementedError (no video library in this container)."""
+    (1 input row -> N output rows: the flat-map shape). ``codec="y4m"``
+    REALLY demuxes+decodes YUV4MPEG2 (``functions/video_codec``);
+    ``codec="fake"`` derives deterministic frames from the payload hash;
+    ``codec="real"`` raises NotImplementedError (integration point for
+    compressed codecs — no h264/vp9 library in this container)."""
 
     def __init__(self, codec: str = "fake", stride: int = 10,
                  frame_w: int = 16, frame_h: int = 12, out_fmt: str = "bmp"):
         from ..functions import image_codec as ic
-        if codec not in ("fake", "real"):
+        from ..functions import video_codec as vc
+        if codec not in ("fake", "y4m", "real"):
             raise ValueError(f"unknown codec {codec!r}")
         self.ic = ic
+        self.vc = vc
         self.codec = codec
         self.stride = stride
         self.fw, self.fh = frame_w, frame_h
@@ -150,8 +163,14 @@ class VideoFrameSampleStage:
     def _frames(self, data: bytes):
         if self.codec == "real":
             raise NotImplementedError(
-                "no video codec library in this environment; plug a real "
-                "demuxer+decoder here (bytes -> iterator of frames)")
+                "no compressed-video library in this environment; plug a "
+                "real demuxer+decoder here (bytes -> iterator of frames). "
+                "Y4M payloads decode for real via codec='y4m'.")
+        if self.codec == "y4m":
+            frames, _fps = self.vc.decode_y4m(data)
+            for idx in range(0, len(frames), self.stride):
+                yield idx, frames[idx]
+            return
         seed = int.from_bytes(
             hashlib.blake2b(data, digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)
