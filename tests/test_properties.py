@@ -109,3 +109,57 @@ def test_schedule_invariants(rows, clock0, seq0, download):
     assert len(k0_urls) == len(set(k0_urls))
     # seen kind-0 candidates never schedule
     assert not any(r["kind"] == 0 and r.get("seen") for r in out)
+
+
+# --------------------------------------------------------------------------
+# WAV / Y4M codecs
+# --------------------------------------------------------------------------
+
+from ieps_crawler_ray.functions import audio_codec as _ac  # noqa: E402
+from ieps_crawler_ray.functions import video_codec as _vc  # noqa: E402
+
+
+@given(st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                          allow_nan=False, width=32),
+                min_size=1, max_size=2000),
+       st.sampled_from([8_000, 16_000, 44_100]))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, sr):
+    w = np.array(samples, dtype=np.float32)
+    w2, sr2 = _ac.decode_wav(_ac.encode_wav(w, sr))
+    assert sr2 == sr and len(w2) == len(w)
+    assert np.abs(w - w2).max() <= 1.01 / 32767
+
+
+@given(st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=0, max_value=255).map(lambda v: v))
+@settings(max_examples=30, deadline=None)
+def test_y4m_flat_frames_roundtrip_exact(hw, ww, n_frames, val):
+    """Flat-color frames survive 4:2:0 chroma subsampling exactly
+    (2x2 blocks are constant), any even dims, any frame count."""
+    h, w = hw * 2, ww * 2
+    frames = [np.full((h, w, 3), val, np.uint8)] * n_frames
+    dec, _ = _vc.decode_y4m(_vc.encode_y4m(frames))
+    assert len(dec) == n_frames
+    for fr in dec:
+        assert (fr == frames[0]).all()
+
+
+@given(st.integers(min_value=0, max_value=500))
+@settings(max_examples=20, deadline=None)
+def test_y4m_luma_bound_property(idx):
+    frames = _vc.procedural_video(idx, max_frames=8)
+    dec, _ = _vc.decode_y4m(_vc.encode_y4m(frames))
+    for a, b in zip(frames, dec):
+        ya = _vc._rgb_to_yuv(a)[..., 0].astype(int)
+        yb = _vc._rgb_to_yuv(b)[..., 0].astype(int)
+        # luma(yuv_to_rgb(y,u,v)) == y for ANY u,v (inverse-matrix
+        # identity), so unclipped pixels roundtrip within rounding;
+        # pixels clipped at 0/255 (box-averaged chroma vs high-contrast
+        # 2x2 block) legitimately shift
+        err = np.abs(ya - yb)
+        clipped = ((b == 0) | (b == 255)).any(axis=-1)
+        assert err[~clipped].max(initial=0) <= 1
+        assert err.mean() <= 2.0
