@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": A.events_sliding_window,
         "events_type_stats_salted": A.events_type_stats_salted,
         "events_distinct_users": A.events_distinct_users,
+        "events_distinct_users_hll": A.events_distinct_users_hll,
         "user_sessions": A.user_sessions,
         # text analysis (SQL-checked)
         "doc_lang_dist": A.doc_lang_dist,

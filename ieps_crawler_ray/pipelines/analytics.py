@@ -429,6 +429,67 @@ def _clusters_labelprop(pdf: "pd.DataFrame") -> "pd.DataFrame":
         .sort_values("doc_id").reset_index(drop=True)
 
 
+_HLL_P = 8  # 256 registers per sketch
+
+
+def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
+    """Approximate distinct users per event type via a HyperLogLog sketch
+    (the mergeable-sketch pattern: per-batch register arrays combine by
+    element-wise max, so the exchange carries types × 2^p register rows —
+    never user ids). Fully deterministic given the hash (md5-derived, the
+    same 64-bit key DuckDB's md5_number_lower yields), so the oracle
+    recomputes identical registers and the identical estimate in SQL.
+    Standard bias-corrected estimator with the linear-counting small-range
+    branch. At 100 TB this replaces an exact COUNT DISTINCT's full
+    shuffle of the key column with a constant-size sketch merge."""
+    m = 1 << p
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def registers(batch: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_b, out_r = [], [], []
+        for et, g in batch.groupby("event_type"):
+            hs = np.array([T._h64_md5(str(u)) for u in g["user_id"]],
+                          dtype=np.uint64)
+            bucket = (hs & np.uint64(m - 1)).astype(np.int64)
+            w = hs >> np.uint64(p)
+            # rho = leading-zero count of the (64-p)-bit remainder + 1
+            nbits = np.zeros(len(w), dtype=np.int64)
+            nz = w > 0
+            nbits[nz] = np.floor(np.log2(w[nz].astype(np.float64))) \
+                .astype(np.int64) + 1
+            # float log2 can misround just below a power of two: repair
+            nbits[nz] += (w[nz] >> nbits[nz].astype(np.uint64)) > 0
+            nbits[nz] -= (w[nz] >> (nbits[nz] - 1).astype(np.uint64)) == 0
+            rho = (64 - p) - nbits + 1
+            df = pd.DataFrame({"bucket": bucket, "rho": rho}) \
+                .groupby("bucket", as_index=False).agg(rho=("rho", "max"))
+            out_t.extend([et] * len(df))
+            out_b.extend(df["bucket"])
+            out_r.extend(df["rho"])
+        return pd.DataFrame({"event_type": out_t, "bucket": out_b,
+                             "rho": out_r})
+
+    regs = ds.map_batches(registers, batch_format="pandas",
+                          batch_size=64 * 1024) \
+        .groupby(["event_type", "bucket"]) \
+        .aggregate(Max("rho", alias_name="rho"))
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        rho = np.zeros(m, dtype=np.int64)
+        rho[g["bucket"].to_numpy()] = g["rho"].to_numpy()
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
+        zeros = int((rho == 0).sum())
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "approx_users": [int(np.floor(e + 0.5))]})
+
+    return regs.groupby("event_type").map_groups(estimate,
+                                                 batch_format="pandas")
+
+
 def events_asof_join(sf_dir: str):
     """As-of join (an operator Ray Data lacks — composed per the brief as
     sort + groupby().map_groups): for each ``purchase`` event, the most
@@ -1220,6 +1281,44 @@ ORACLE_SQL = {
     "ngram_jaccard_neardup": _JACCARD_PAIRS_SQL,
     "doc_lang_id": _LANG_ID_SQL,
     "neardup_clusters": _CLUSTERS_SQL,
+    "events_distinct_users_hll": """
+        WITH h AS (
+            SELECT event_type,
+                   md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, CAST(hv % 256 AS BIGINT) AS bucket,
+                   CASE WHEN (hv >> 8) = 0 THEN 57
+                        ELSE 56 - length(bin(hv >> 8)) + 1 END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, bucket, MAX(rho) AS rho
+            FROM r GROUP BY event_type, bucket
+        ),
+        grid AS (SELECT DISTINCT event_type FROM events),
+        filled AS (
+            SELECT g.event_type, b.b AS bucket,
+                   COALESCE(regs.rho, 0) AS rho
+            FROM grid g CROSS JOIN
+                 (SELECT UNNEST(range(0, 256)) AS b) b
+            LEFT JOIN regs ON regs.event_type = g.event_type
+                          AND regs.bucket = b.b
+        ),
+        est AS (
+            SELECT event_type,
+                   0.7213 / (1 + 1.079 / 256) * 256 * 256
+                       / SUM(POWER(2.0, -rho)) AS e,
+                   SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM filled GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(FLOOR(CASE WHEN e <= 2.5 * 256 AND zeros > 0
+                               THEN 256 * LN(256.0 / zeros)
+                               ELSE e END + 0.5) AS BIGINT) AS approx_users
+        FROM est
+    """,
     "events_asof_join": """
         WITH a AS (SELECT event_id, ts, user_id FROM events
                    WHERE event_type = 'purchase'),

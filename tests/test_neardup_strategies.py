@@ -131,3 +131,40 @@ def test_minhash_uncapped_matches_bruteforce_on_small_corpus(ray_session):
             if T.jaccard(sh[a], sh[b]) >= 0.5}
     got = _pairs(A.minhash_lsh_neardup(sf).to_pandas())
     assert got == want
+
+
+def test_hll_estimate_close_to_exact(ray_session):
+    """HLL sketch estimate within the expected error band of the exact
+    distinct count (~1.04/sqrt(256) ≈ 6.5% relative at p=8; sf0.01's 150
+    users/type give the linear-counting branch enough registers — at
+    sf0.001's 15 users the relative error is dominated by bucket-collision
+    variance, which is expected sketch behavior, not a bug)."""
+    sf = "/root/testdata/sf0.01"
+    hll = A.events_distinct_users_hll(sf).to_pandas() \
+        .set_index("event_type")["approx_users"]
+    exact = A.events_distinct_users(sf).to_pandas() \
+        .set_index("event_type").iloc[:, 0]
+    for et in exact.index:
+        rel = abs(hll[et] - exact[et]) / max(exact[et], 1)
+        assert rel < 0.15, (et, hll[et], exact[et])
+
+
+def test_hll_rho_matches_bit_length():
+    """The vectorized float-log2 rho (with the off-by-one repair) equals
+    the integer-exact definition for adversarial values: powers of two,
+    their neighbours, and random 56-bit words."""
+    import numpy as np
+
+    vals = []
+    for k in range(0, 56):
+        vals.extend([1 << k, (1 << k) - 1, (1 << k) + 1])
+    rng = np.random.default_rng(1)
+    vals.extend(int(v) for v in rng.integers(1, 1 << 56, 200))
+    w = np.array([v for v in vals if 0 < v < (1 << 56)], dtype=np.uint64)
+    p = 8
+    nbits = np.floor(np.log2(w.astype(np.float64))).astype(np.int64) + 1
+    nbits += (w >> nbits.astype(np.uint64)) > 0
+    nbits -= (w >> (nbits - 1).astype(np.uint64)) == 0
+    want = np.array([(64 - p) - int(v).bit_length() + 1 for v in w.tolist()])
+    got = (64 - p) - nbits + 1
+    assert (got == want).all()
