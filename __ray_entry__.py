@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_statistics": F.crawl_statistics,
         "image_decode_stats": F.image_decode_stats,
         "image_thumbnails": F.image_thumbnails,
+        "image_phash_neardup": F.image_phash_neardup,
         "audio_features": F.audio_features,
         "video_frames": F.video_frames,
     }

@@ -203,6 +203,19 @@ CRAWL_ORACLE_SQL = {
         SELECT from_url AS parent_url, COUNT(*) AS out_degree
         FROM read_parquet('{_X}/links.parquet') GROUP BY from_url
     """,
+    "image_phash_neardup": f"""
+        WITH im AS (
+            SELECT DISTINCT url,
+                   CAST(CAST(phash AS HUGEINT)
+                        + CASE WHEN phash < 0
+                               THEN 18446744073709551616 ELSE 0 END
+                        AS UBIGINT) AS ph
+            FROM read_parquet('{_X}/images.parquet') WHERE downloaded
+        )
+        SELECT a.url AS url_a, b.url AS url_b
+        FROM im a JOIN im b ON a.url < b.url
+        WHERE bit_count(xor(a.ph, b.ph)) <= 3
+    """,
     "audio_features": f"""
         SELECT audio_id, n_samples, sample_rate, rms0_micros, rms1_micros,
                rms2_micros, rms3_micros
@@ -281,6 +294,54 @@ def crawl_images(sf_dir: str):
          "downloaded", "content_type", "w", "h", "fmt", "phash",
          "caption"]).to_pandas()
     return imgs.sort_values(["domain", "seq"]).reset_index(drop=True)
+
+
+def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
+                        bands: int = 4):
+    """Near-duplicate images by perceptual hash (the image-axis analog of
+    ``simhash_neardup``): distinct downloaded (url, phash) -> 16-bit band
+    blocking (LOSSLESS for max_hamming < bands by pigeonhole) -> exact
+    SWAR-popcount Hamming verify within buckets -> distinct pairs. The
+    shuffle carries (band key, url) rows, never pixels."""
+    from .analytics import _popcount_u64
+
+    ds = C.read_images(_crawled(sf_dir)) \
+        .filter(expr="downloaded == True") \
+        .select_columns(["url", "phash"]) \
+        .groupby(["url", "phash"]).count() \
+        .select_columns(["url", "phash"])
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        ph = b.column("phash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        out_u, out_bi, out_bh, out_ph = [], [], [], []
+        for bi in range(bands):
+            bh = ((ph >> np.uint64(bi * width)) & mask).astype(np.int64)
+            out_u.extend(urls)
+            out_bi.extend([bi] * len(urls))
+            out_bh.extend(bh)
+            out_ph.extend(ph.view(np.int64))
+        return pa.table({"url": pa.array(out_u, pa.string()),
+                         "band_i": pa.array(out_bi, pa.int32()),
+                         "band_h": pa.array(out_bh, pa.int64()),
+                         "phash": pa.array(out_ph, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("url").sort_values("url")
+        urls = g["url"].to_numpy()
+        codes = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = _popcount_u64(codes[:, None] ^ codes[None, :])
+        ai, bj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+        return pd.DataFrame({"url_a": urls[ai], "url_b": urls[bj]})
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band_i", "band_h"]) \
+        .map_groups(pairs, batch_format="pandas") \
+        .groupby(["url_a", "url_b"]).count() \
+        .select_columns(["url_a", "url_b"])
 
 
 def crawl_page_data(sf_dir: str):
