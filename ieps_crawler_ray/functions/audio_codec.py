@@ -46,6 +46,8 @@ def decode_wav(data: bytes) -> tuple:
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt_tag, n_channels, sample_rate = struct.unpack(
                 "<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]

@@ -353,8 +353,15 @@ def neardup_clusters(sf_dir: str, strategy: str = None):
     over the pair graph — two shuffles per sweep, O(component diameter)
     sweeps, nothing pair-scaled on the driver. Parity test pins both."""
     pairs = minhash_lsh_neardup(sf_dir)
-    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
-    if strategy != "labelprop" and len(pdf) <= _CLUSTER_LOCAL_LIMIT_PAIRS:
+    pairs_ds = pairs if isinstance(pairs, rd.Dataset) \
+        else rd.from_pandas(pairs)
+    # pin once: the strategy decision needs only count(), and the chosen
+    # path re-reads the same blocks — the pair set is never collected to
+    # the driver before the decision
+    pairs_ds = pairs_ds.materialize()
+    if strategy != "labelprop" and \
+            pairs_ds.count() <= _CLUSTER_LOCAL_LIMIT_PAIRS:
+        pdf = pairs_ds.to_pandas()
         parent: dict = {}
 
         def find(x):
@@ -374,17 +381,21 @@ def neardup_clusters(sf_dir: str, strategy: str = None):
             "cluster_id": pd.array([find(int(m)) for m in members],
                                    dtype="int64")})
         return out
-    return _clusters_labelprop(pdf)
+    return _clusters_labelprop(pairs_ds)
 
 
-def _clusters_labelprop(pdf: "pd.DataFrame") -> "pd.DataFrame":
+def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
     """Distributed min-label propagation: labels live as a Dataset; each
     sweep joins neighbor labels through a groupby fan-out and keeps the
-    per-node minimum, until a sweep changes nothing."""
-    edges = rd.from_pandas(pd.DataFrame({
-        "src": pd.concat([pdf["doc_a"], pdf["doc_b"]], ignore_index=True),
-        "dst": pd.concat([pdf["doc_b"], pdf["doc_a"]], ignore_index=True),
-    })).map_batches(lambda b: b, batch_format="pyarrow").materialize()
+    per-node minimum, until a sweep changes nothing. The pair set stays
+    distributed end-to-end (bidirecting is a per-batch transform)."""
+    def bidirect(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": pd.concat([b["doc_a"], b["doc_b"]], ignore_index=True),
+            "dst": pd.concat([b["doc_b"], b["doc_a"]], ignore_index=True)})
+
+    edges = pairs_ds.map_batches(bidirect,
+                                 batch_format="pandas").materialize()
     labels = edges.map_batches(
         lambda b: pa.table({"node": b.column("src"),
                             "lab": b.column("src")}),
@@ -707,7 +718,12 @@ def doc_simhash(sf_dir: str):
 # falls back to STAR linking (every member paired with the bucket minimum)
 # — candidate count drops to n-1 while every member still reaches the
 # exact-verify stage through its representative, and the event is logged
-# (no silent cap). Default sized so normal corpora never hit it.
+# (no silent cap). Default sized so normal corpora never hit it. NOTE:
+# when the cap fires, recall is deliberately reduced (pairs between two
+# non-representative members are not emitted), so the exact brute-force
+# SQL oracles only bind while buckets stay under the cap — which holds on
+# every sf tier; the capped path is pinned by the degenerate-corpus unit
+# tests instead.
 _MAX_BUCKET = 2048
 
 
@@ -1599,9 +1615,11 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4,
     """SimHash near-dup pairs: 64-bit code -> band blocking -> exact
     Hamming verify. With max_hamming < bands the blocking is LOSSLESS by
     pigeonhole (<= bands-1 differing bits leave at least one band
-    identical), so this finds EVERY pair within the distance — the same
-    two-phase candidate/verify shape as MinHash-LSH but over bit-sampled
-    fingerprints."""
+    identical), so while every band bucket stays under ``max_bucket``
+    this finds EVERY pair within the distance (true for the sf tiers and
+    any non-boilerplate corpus — the brute-force SQL oracle pins it).
+    Degenerate buckets above the cap fall back to logged star-linking:
+    bounded memory at reduced pair recall (unit-tested separately)."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "text"],
                          override_num_blocks=32)

@@ -56,6 +56,12 @@ def _generator_version() -> str:
 def world_for_sf(sf_dir: str) -> SyntheticWeb:
     tier = os.environ.get("GRAFT_WORLD_TIER") \
         or os.path.basename(os.path.normpath(sf_dir))
+    return world_for_tier(tier)
+
+
+def world_for_tier(tier: str) -> SyntheticWeb:
+    """Build the deterministic world for an explicit tier name (no env
+    override — the oracle export MUST use the tier its cache key names)."""
     nd, tp, nc, ns, lo, hi = _SCALES.get(tier, _DEFAULT_SCALE)
     # the corpus build is deterministic — cache it on disk so repeated
     # bench processes (e.g. the three --scaling levels) skip the ~20 s
@@ -119,7 +125,10 @@ def ensure_oracle_export(sf_dir: str) -> str:
                 return out
     except Exception:
         pass
-    web = world_for_sf(sf_dir)
+    # explicit tier build: a GRAFT_WORLD_TIER env override (bench
+    # --scaling exports it) must NOT leak a different world into an
+    # export dir keyed by this tier
+    web = world_for_tier(tier)
     res = OracleCrawler(web).run()
     os.makedirs(out, exist_ok=True)
     pq.write_table(res["pages"].select(
@@ -330,12 +339,17 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
                          "phash": pa.array(out_ph, pa.int64())})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("url").sort_values("url")
+        # distinct on (url, phash): a url legitimately carries multiple
+        # codes if observed with different bytes — compare all of them,
+        # but never emit a self-pair (oracle is a.url < b.url)
+        g = g.drop_duplicates(["url", "phash"]).sort_values("url")
         urls = g["url"].to_numpy()
         codes = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
         ham = _popcount_u64(codes[:, None] ^ codes[None, :])
         ai, bj = np.nonzero(np.triu(ham <= max_hamming, k=1))
-        return pd.DataFrame({"url_a": urls[ai], "url_b": urls[bj]})
+        keep = urls[ai] != urls[bj]
+        return pd.DataFrame({"url_a": urls[ai][keep],
+                             "url_b": urls[bj][keep]})
 
     return ds.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band_i", "band_h"]) \
@@ -527,7 +541,9 @@ def crawl_pagerank(sf_dir: str, iterations: int = _PR_ITERS,
     ``strategy='partitioned'``) the iterations run distributed — per-node
     groupby contribution fan-out, partial-summed per destination — the
     only shape that holds at 10^10 edges. A parity test pins both equal."""
-    edges_ds = C.read_links(_crawled(sf_dir))
+    # pin the edge blocks once: read_links' own shuffles must not re-run
+    # for the count(), the local collect, or each distributed consumer
+    edges_ds = C.read_links(_crawled(sf_dir)).materialize()
     if strategy != "partitioned" and \
             edges_ds.count() <= _PR_LOCAL_LIMIT_EDGES:
         ranks = _pagerank_local(edges_ds.to_pandas(), iterations, d)

@@ -74,9 +74,13 @@ class RobotsShardActor:
             return
         robots_txt = self.web.get_robots(domain) if self.web else None
         rules = parse_robots(robots_txt)
-        # recursive sitemap-index descent (SiteMaps.scala:12-55), bounded
-        sitemap_urls, sitemap_content = resolve_sitemaps(
-            self.web.fetch, rules.sitemaps)
+        # recursive sitemap-index descent (SiteMaps.scala:12-55), bounded;
+        # web=None is a supported state (rules-only shard) — no fetches
+        if self.web is not None and rules.sitemaps:
+            sitemap_urls, sitemap_content = resolve_sitemaps(
+                self.web.fetch, rules.sitemaps)
+        else:
+            sitemap_urls, sitemap_content = [], None
         self.rules[domain] = rules
         self.sites[domain] = {"domain": domain, "robots_content": robots_txt,
                               "sitemap_content": sitemap_content,
