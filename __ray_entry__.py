@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": A.events_distinct_users,
         "events_distinct_users_hll": A.events_distinct_users_hll,
         "user_sessions": A.user_sessions,
+        "user_funnel": A.user_funnel,
         # text analysis (SQL-checked)
         "doc_lang_dist": A.doc_lang_dist,
         "doc_token_counts": A.doc_token_counts,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_ngram_counts": A.corpus_ngram_counts,
         "embedding_centroids": A.embedding_centroids,
         "doc_text_normalize": A.doc_text_normalize,
+        "doc_tfidf_topterms": A.doc_tfidf_topterms,
         "neardup_clusters": A.neardup_clusters,
         "events_asof_join": A.events_asof_join,
         "events_range_join": A.events_range_join,

@@ -440,6 +440,84 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
         .sort_values("doc_id").reset_index(drop=True)
 
 
+_FUNNEL = ["signup", "click", "purchase"]
+
+
+def user_funnel(sf_dir: str):
+    """Ordered funnel (signup → click → purchase): how many users reach
+    each stage IN ORDER (each stage's event strictly after the previous
+    stage's first qualifying event). Partitioned per user —
+    groupby(user_id).map_groups over each user's bounded history — then a
+    tiny stage-count aggregate."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"],
+                         filter=pc.field("event_type").isin(_FUNNEL))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        reached = 0
+        cur = pd.Timestamp.min
+        for stage in _FUNNEL:
+            nxt = g.loc[(g["event_type"] == stage) & (g["ts"] > cur), "ts"]
+            if nxt.empty:
+                break
+            cur = nxt.min()
+            reached += 1
+        return pd.DataFrame({"stage": _FUNNEL[:reached],
+                             "n_users": [1] * reached})
+
+    return ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas") \
+        .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def doc_tfidf_topterms(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF terms per document. Scale shape: document-frequency
+    table built with per-batch distinct-term partials + one groupby
+    (bounded by vocabulary); the df/N lookup is broadcast (vocabulary is
+    the small side by construction); per-doc scoring + top-k is then a
+    pure per-batch transform — no per-term shuffle of the corpus. Scores
+    in integer milli-units with an integer-exact (tf, df, term) tie-break
+    so ranking never depends on float ulps."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=16)
+    n_docs = ds.count()
+
+    def distinct_terms(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(T.TOKEN_RE.findall(t.lower())))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    df_tbl = ds.map_batches(distinct_terms, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        df = ray.get(df_ref)
+        out_id, out_t, out_s = [], [], []
+        for i, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            tf = Counter(T.TOKEN_RE.findall(text.lower()))
+            scored = sorted(
+                ((int(np.floor(n * np.log(n_docs / df[w]) * 1e3 + 0.5)),
+                  n, -df[w], w)
+                 for w, n in tf.items()),
+                key=lambda r: (-r[0], -r[1], -r[2], r[3]))[:k]
+            for s, _n, _negdf, w in scored:
+                out_id.append(i)
+                out_t.append(w)
+                out_s.append(s)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "term": pa.array(out_t, pa.string()),
+                         "score_milli": pa.array(out_s, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 _HLL_P = 8  # 256 registers per sketch
 
 
@@ -1297,6 +1375,50 @@ ORACLE_SQL = {
     "ngram_jaccard_neardup": _JACCARD_PAIRS_SQL,
     "doc_lang_id": _LANG_ID_SQL,
     "neardup_clusters": _CLUSTERS_SQL,
+    "user_funnel": """
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT 'signup' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL SELECT 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 'purchase', COUNT(*) FROM s3
+    """,
+    "doc_tfidf_topterms": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM toks GROUP BY term),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                   CAST(FLOOR(tf.tf * LN(CAST((SELECT n FROM nn) AS DOUBLE)
+                                          / dfq.df) * 1e3 + 0.5)
+                        AS BIGINT) AS score_milli
+            FROM tf JOIN dfq USING (term)
+        )
+        SELECT doc_id, term, score_milli FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score_milli DESC, tf DESC, df ASC, term ASC) AS rn
+            FROM scored) WHERE rn <= 3
+    """,
     "events_distinct_users_hll": """
         WITH h AS (
             SELECT event_type,
