@@ -462,25 +462,36 @@ def user_funnel(sf_dir: str):
                 break
             cur = nxt.min()
             reached += 1
-        return pd.DataFrame({"stage": _FUNNEL[:reached],
-                             "n_users": [1] * reached})
+        # ALWAYS one row per stage (0/1): no empty object-dtype frames to
+        # trip block-schema unification, and stages nobody reaches still
+        # aggregate to an explicit 0 row — matching the oracle's COUNT(*)
+        # over possibly-empty stage sets
+        return pd.DataFrame({
+            "stage": pd.Series(_FUNNEL, dtype=object),
+            "n_users": pd.Series([1 if i < reached else 0
+                                  for i in range(len(_FUNNEL))],
+                                 dtype="int64")})
 
     return ds.groupby("user_id").map_groups(per_user,
                                             batch_format="pandas") \
         .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
 
 
-def doc_tfidf_topterms(sf_dir: str, k: int = 3):
+_TFIDF_K = 3  # default k, interpolated into the oracle SQL — keep in sync
+
+
+def doc_tfidf_topterms(sf_dir: str, k: int = _TFIDF_K):
     """Top-k TF-IDF terms per document. Scale shape: document-frequency
     table built with per-batch distinct-term partials + one groupby
     (bounded by vocabulary); the df/N lookup is broadcast (vocabulary is
     the small side by construction); per-doc scoring + top-k is then a
     pure per-batch transform — no per-term shuffle of the corpus. Scores
-    in integer milli-units with an integer-exact (tf, df, term) tie-break
-    so ranking never depends on float ulps."""
+    in integer milli-units; tf*ln(N/df) is rounded to 9 decimals before
+    the floor (both engines) so a last-ulp libm difference can't move the
+    milli boundary, and ties break on the integer-exact (tf, df, term)."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "text"],
-                         override_num_blocks=16)
+                         override_num_blocks=16).materialize()
     n_docs = ds.count()
 
     def distinct_terms(batch: pa.Table) -> pa.Table:
@@ -503,7 +514,8 @@ def doc_tfidf_topterms(sf_dir: str, k: int = 3):
                            batch.column("text").to_pylist()):
             tf = Counter(T.TOKEN_RE.findall(text.lower()))
             scored = sorted(
-                ((int(np.floor(n * np.log(n_docs / df[w]) * 1e3 + 0.5)),
+                ((int(np.floor(
+                    np.round(n * np.log(n_docs / df[w]), 9) * 1e3 + 0.5)),
                   n, -df[w], w)
                  for w, n in tf.items()),
                 key=lambda r: (-r[0], -r[1], -r[2], r[3]))[:k]
@@ -1396,7 +1408,7 @@ ORACLE_SQL = {
         UNION ALL SELECT 'click', COUNT(*) FROM s2
         UNION ALL SELECT 'purchase', COUNT(*) FROM s3
     """,
-    "doc_tfidf_topterms": r"""
+    "doc_tfidf_topterms": rf"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(regexp_extract_all(lower(text), '\w+')) AS term
@@ -1409,15 +1421,16 @@ ORACLE_SQL = {
         nn AS (SELECT COUNT(*) AS n FROM documents),
         scored AS (
             SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-                   CAST(FLOOR(tf.tf * LN(CAST((SELECT n FROM nn) AS DOUBLE)
-                                          / dfq.df) * 1e3 + 0.5)
+                   CAST(FLOOR(ROUND(tf.tf
+                                    * LN(CAST((SELECT n FROM nn) AS DOUBLE)
+                                         / dfq.df), 9) * 1e3 + 0.5)
                         AS BIGINT) AS score_milli
             FROM tf JOIN dfq USING (term)
         )
         SELECT doc_id, term, score_milli FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                 ORDER BY score_milli DESC, tf DESC, df ASC, term ASC) AS rn
-            FROM scored) WHERE rn <= 3
+            FROM scored) WHERE rn <= {_TFIDF_K}
     """,
     "events_distinct_users_hll": """
         WITH h AS (

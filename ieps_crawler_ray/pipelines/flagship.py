@@ -221,7 +221,7 @@ CRAWL_ORACLE_SQL = {
                         AS UBIGINT) AS ph
             FROM read_parquet('{_X}/images.parquet') WHERE downloaded
         )
-        SELECT a.url AS url_a, b.url AS url_b
+        SELECT DISTINCT a.url AS url_a, b.url AS url_b
         FROM im a JOIN im b ON a.url < b.url
         WHERE bit_count(xor(a.ph, b.ph)) <= 3
     """,
