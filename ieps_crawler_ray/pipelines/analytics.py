@@ -402,6 +402,7 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
         batch_format="pyarrow") \
         .groupby("node").aggregate(Min("lab", alias_name="lab")) \
         .materialize()
+    prev_sum = labels.sum("lab")
     while True:
         def to_edge(b: pa.Table) -> pa.Table:
             return pa.table({"key": b.column("src"),
@@ -426,14 +427,14 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
             .groupby("key").map_groups(fan_out, batch_format="pandas") \
             .groupby("node").aggregate(Min("lab", alias_name="lab")) \
             .materialize()
-        # convergence: did any label shrink? (tiny n-node comparison via
-        # a join-free checksum: sum of labels strictly decreases until
-        # the fixpoint)
-        old_sum = labels.sum("lab")
+        # convergence: did any label shrink? (join-free checksum: the
+        # label sum strictly decreases until the fixpoint). The previous
+        # sweep's sum is carried forward — one aggregation per sweep.
         new_sum = new_labels.sum("lab")
         labels = new_labels
-        if new_sum == old_sum:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     out = labels.to_pandas().rename(
         columns={"node": "doc_id", "lab": "cluster_id"})
     return out.astype({"doc_id": "int64", "cluster_id": "int64"}) \
@@ -618,12 +619,20 @@ def events_asof_join(sf_dir: str):
         bt = b["ts"].to_numpy()
         idx = np.searchsorted(bt, a["ts"].to_numpy(), side="right") - 1
         has = idx >= 0
-        prior_id = np.where(has, b["event_id"].to_numpy()[idx], -1)
-        lag = np.where(
-            has,
-            (a["ts"].to_numpy() - bt[np.maximum(idx, 0)])
-            .astype("timedelta64[us]").astype(np.int64),
-            -1)
+        if len(b) == 0:
+            # purchases with zero clicks for this user: all sentinels
+            # (fancy-indexing an empty array would raise even under
+            # np.where's unselected branch)
+            prior_id = np.full(len(a), -1, dtype=np.int64)
+            lag = np.full(len(a), -1, dtype=np.int64)
+        else:
+            safe = np.maximum(idx, 0)
+            prior_id = np.where(has, b["event_id"].to_numpy()[safe], -1)
+            lag = np.where(
+                has,
+                (a["ts"].to_numpy() - bt[safe])
+                .astype("timedelta64[us]").astype(np.int64),
+                -1)
         return pd.DataFrame({"event_id": a["event_id"].to_numpy(),
                              "user_id": a["user_id"].to_numpy(),
                              "prior_event_id": prior_id.astype(np.int64),
@@ -817,18 +826,24 @@ def doc_simhash(sf_dir: str):
 _MAX_BUCKET = 2048
 
 
-def _bucket_pairs(ids: np.ndarray, max_bucket: int,
-                  stage: str) -> tuple[np.ndarray, np.ndarray]:
-    """All-pairs (vectorized triu) under the cap, star pairs over it."""
-    n = len(ids)
+def _bucket_pair_indices(n: int, max_bucket: int,
+                         stage: str) -> tuple[np.ndarray, np.ndarray]:
+    """Index pairs for one bucket: all-pairs triu under the cap, star
+    pairs to index 0 (the sorted minimum) over it — the single place the
+    degenerate-bucket policy and its log line live."""
     if n > max_bucket:
         import logging
         logging.getLogger(__name__).warning(
             "%s: bucket of %d docs exceeds max_bucket=%d — star-linking "
             "to the minimum id (n-1 candidates instead of n(n-1)/2)",
             stage, n, max_bucket)
-        return np.full(n - 1, ids[0]), ids[1:]
-    ai, bj = np.triu_indices(n, k=1)
+        return np.zeros(n - 1, dtype=np.int64), np.arange(1, n)
+    return np.triu_indices(n, k=1)
+
+
+def _bucket_pairs(ids: np.ndarray, max_bucket: int,
+                  stage: str) -> tuple[np.ndarray, np.ndarray]:
+    ai, bj = _bucket_pair_indices(len(ids), max_bucket, stage)
     return ids[ai], ids[bj]
 
 
@@ -1779,24 +1794,15 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4,
         ids = np.array([r[0] for r in rows], dtype=np.int64)
         codes = np.array([r[1] for r in rows], dtype=np.int64) \
             .view(np.uint64)
-        n = len(ids)
-        if n > max_bucket:
-            # degenerate bucket: star-compare against the minimum id only
-            # (bounded memory; every member still reaches the output
-            # through its representative when within distance) — logged,
-            # not silent
-            import logging
-            logging.getLogger(__name__).warning(
-                "simhash_neardup: bucket of %d docs exceeds max_bucket=%d "
-                "— star-comparing to the minimum id", n, max_bucket)
-            ham = _popcount_u64(codes[0] ^ codes[1:])
-            keep = ham <= max_hamming
-            return pd.DataFrame({"doc_a": np.full(int(keep.sum()), ids[0]),
-                                 "doc_b": ids[1:][keep]})
-        # vectorized pairwise Hamming: XOR outer matrix -> SWAR popcount
-        ham = _popcount_u64(codes[:, None] ^ codes[None, :])
-        ai, bj = np.nonzero(np.triu(ham <= max_hamming, k=1))
-        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bj]})
+        # shared bucket policy (all-pairs under the cap, logged star
+        # links over it), then vectorized SWAR-popcount Hamming verify on
+        # exactly the candidate index pairs
+        ai, bj = _bucket_pair_indices(len(ids), max_bucket,
+                                      "simhash_neardup")
+        ham = _popcount_u64(codes[ai] ^ codes[bj])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ai][keep],
+                             "doc_b": ids[bj][keep]})
 
     cand = ds.map_batches(codes, batch_format="pyarrow") \
         .groupby(["band_i", "band_h"]).map_groups(pairs,

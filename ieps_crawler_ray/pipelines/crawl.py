@@ -261,9 +261,11 @@ class CrawlDriver:
         # so the gate checks locally; actor RPC only on cache miss. Guarded:
         # past cfg.max_broadcast_rules domains the per-round gather itself
         # is the scale problem, so the gate runs entirely on the batched
-        # robots-shard RPC path instead (rules_ref=None fallback).
-        n_rules = sum(ray.get([a.rule_count.remote()
-                               for a in self.handles["robots"]]))
+        # robots-shard RPC path instead (rules_ref=None fallback). The
+        # count proxy is driver-local (no extra RPC barrier): the shards'
+        # rule caches track the domains the driver has discovered, so
+        # len(domain_state) bounds the rules within one round's discovery.
+        n_rules = len(self.domain_state)
         if n_rules <= cfg.max_broadcast_rules:
             rules: dict = {}
             for shard_rules in ray.get([a.dump_rules.remote()
@@ -600,7 +602,10 @@ def read_links(out_dir: str) -> rd.Dataset:
         # (union edges with key markers, group on the key, keep edge rows
         # only where a marker lands in the group) — no join-operator actor
         # pools, no driver-side set; duplicates on the key side are
-        # harmless because only edge rows are emitted
+        # harmless because only edge rows are emitted. page_urls is
+        # consumed twice — pin its blocks so the fetched-parquet scan +
+        # filter runs once, not per semi-join
+        page_urls = page_urls.materialize()
         pairs = _semi_keep(pairs, "parent_url", page_urls)
         pairs = _semi_keep(pairs, "url", page_urls)
 

@@ -131,27 +131,36 @@ def ensure_oracle_export(sf_dir: str) -> str:
     web = world_for_tier(tier)
     res = OracleCrawler(web).run()
     os.makedirs(out, exist_ok=True)
-    pq.write_table(res["pages"].select(
+
+    def write_table(table, path):
+        # atomic per-file publish: concurrent same-version writers (e.g.
+        # parallel test processes) produce identical bytes, and a reader
+        # that already validated the marker can never see a torn file
+        tmp_p = f"{path}.tmp{os.getpid()}"
+        pq.write_table(table, tmp_p)
+        os.replace(tmp_p, path)
+
+    write_table(res["pages"].select(
         ["url", "domain", "page_type", "http_status", "content_hash",
          "load_time_ms", "seq", "fetch_time"]),
         os.path.join(out, "pages.parquet"))
-    pq.write_table(res["order"], os.path.join(out, "order.parquet"))
-    pq.write_table(res["links"], os.path.join(out, "links.parquet"))
+    write_table(res["order"], os.path.join(out, "order.parquet"))
+    write_table(res["links"], os.path.join(out, "links.parquet"))
     imgs = res["images"].select(
         ["filename", "domain", "page_url", "seq", "is_duplicate",
          "downloaded", "content_type", "w", "h", "fmt", "phash", "caption"]) \
         .rename_columns(["url", "domain", "parent_url", "seq",
                          "is_duplicate", "downloaded", "content_type", "w",
                          "h", "fmt", "phash", "caption"])
-    pq.write_table(imgs, os.path.join(out, "images.parquet"))
+    write_table(imgs, os.path.join(out, "images.parquet"))
     pdata = res["page_data"].select(
         ["filename", "domain", "page_url", "seq", "is_duplicate",
          "downloaded", "content_type", "data_type"]) \
         .rename_columns(["url", "domain", "parent_url", "seq",
                          "is_duplicate", "downloaded", "content_type",
                          "data_type"])
-    pq.write_table(pdata, os.path.join(out, "page_data.parquet"))
-    pq.write_table(res["sites"].select(
+    write_table(pdata, os.path.join(out, "page_data.parquet"))
+    write_table(res["sites"].select(
         ["domain", "robots_content", "sitemap_content"]),
         os.path.join(out, "sites.parquet"))
     # deterministic image-corpus metadata: the expected outputs of the
@@ -159,14 +168,14 @@ def ensure_oracle_export(sf_dir: str) -> str:
     # exactly these dims/fmt and roundtrip) — gives image_decode_stats /
     # image_thumbnails real DuckDB oracles
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    pq.write_table(build_corpus_rows(nc).select(["image_id", "w", "h", "fmt"]),
-                   os.path.join(out, "corpus.parquet"))
+    write_table(build_corpus_rows(nc).select(["image_id", "w", "h", "fmt"]),
+                os.path.join(out, "corpus.parquet"))
     # audio/video corpus-contract oracles: expected stage outputs computed
     # WITHOUT Ray (pure decode + DSP over the same deterministic corpora)
-    pq.write_table(_audio_expected(nc),
-                   os.path.join(out, "audio_expected.parquet"))
-    pq.write_table(_video_expected(max(nc // 4, 4)),
-                   os.path.join(out, "video_expected.parquet"))
+    write_table(_audio_expected(nc),
+                os.path.join(out, "audio_expected.parquet"))
+    write_table(_video_expected(max(nc // 4, 4)),
+                os.path.join(out, "video_expected.parquet"))
     tmp = marker + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"version": version, "tier": tier}, f)
@@ -261,10 +270,14 @@ _CRAWL_CACHE: dict = {}
 
 
 def _crawled(sf_dir: str) -> str:
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    # cache key = EFFECTIVE tier (env override included): a
+    # GRAFT_WORLD_TIER process must never serve a differently-sized
+    # world's crawl under the path tier's key
+    tier = os.environ.get("GRAFT_WORLD_TIER") \
+        or os.path.basename(os.path.normpath(sf_dir))
     out = _CRAWL_CACHE.get(tier)
     if out is None or not os.path.isdir(out):
-        web = world_for_sf(sf_dir)
+        web = world_for_tier(tier)
         out = tempfile.mkdtemp(prefix=f"ieps_crawl_{tier}_", dir="/tmp")
         C.run_crawl(web, CrawlConfig(out_dir=out, seeds=list(web.seeds)))
         _CRAWL_CACHE[tier] = out
@@ -573,7 +586,10 @@ def _pagerank_local(edges: "pd.DataFrame", iterations: int,
     for _ in range(iterations):
         contrib = np.bincount(dst, weights=r[src] / deg[src], minlength=n)
         dangling = r[deg == 0].sum()
-        r = np.round((1 - d) / n + d * (contrib + dangling / n), _PR_ROUND)
+        # floor(x*scale+0.5): identical halfway behavior in numpy and SQL
+        # (np.round is half-even, SQL ROUND half-away)
+        r = np.floor(((1 - d) / n + d * (contrib + dangling / n))
+                     * 10.0 ** _PR_ROUND + 0.5) / 10.0 ** _PR_ROUND
     return pd.DataFrame({"url": nodes, "rank": r})
 
 
@@ -670,7 +686,8 @@ def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
         def finish(b: pa.Table, _dang=dangling) -> pa.Table:
             t = b.filter(pc.not_equal(b.column("dst"), _PR_DANGLING))
             c = t.column("c").to_numpy(zero_copy_only=False)
-            r = np.round((1 - d) / n + d * (c + _dang / n), _PR_ROUND)
+            r = np.floor(((1 - d) / n + d * (c + _dang / n))
+                         * 10.0 ** _PR_ROUND + 0.5) / 10.0 ** _PR_ROUND
             return pa.table({"node": t.column("dst"),
                              "deg": t.column("deg"),
                              "rank": pa.array(r, pa.float64())})
@@ -705,11 +722,11 @@ def _pagerank_oracle_sql(links_path: str, iterations: int = _PR_ITERS,
         its.append(f"""
         , r{k} AS MATERIALIZED (
             SELECT nd.node, nd.deg,
-                   ROUND((1 - {d}) / (SELECT n FROM nn)
+                   FLOOR(((1 - {d}) / (SELECT n FROM nn)
                      + {d} * (COALESCE(c.contrib, 0)
                        + (SELECT COALESCE(SUM(rank), 0) FROM {p}
-                          WHERE deg = 0) / (SELECT n FROM nn)),
-                     {_PR_ROUND}) AS rank
+                          WHERE deg = 0) / (SELECT n FROM nn)))
+                     * 1e{_PR_ROUND} + 0.5) / 1e{_PR_ROUND} AS rank
             FROM nd LEFT JOIN (
                 SELECT e.dst AS node, SUM(r.rank / r.deg) AS contrib
                 FROM e JOIN {p} r ON e.src = r.node GROUP BY e.dst

@@ -105,9 +105,6 @@ class RobotsShardActor:
             self._ensure(d)
         return len(self.rules)
 
-    def rule_count(self) -> int:
-        return len(self.rules)
-
     def dump_rules(self) -> dict:
         """Parsed rules for every cached domain — broadcast by the driver
         each round so the gate checks robots LOCALLY in the partition

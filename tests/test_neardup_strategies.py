@@ -168,3 +168,29 @@ def test_hll_rho_matches_bit_length():
     want = np.array([(64 - p) - int(v).bit_length() + 1 for v in w.tolist()])
     got = (64 - p) - nbits + 1
     assert (got == want).all()
+
+
+def test_asof_join_user_with_no_clicks(ray_session, tmp_path):
+    """A user with purchases but zero clicks must get -1 sentinels, not an
+    IndexError (empty-side fancy-indexing regression)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01 10:00"),
+                        pd.Timestamp("2024-01-01 11:00"),
+                        pd.Timestamp("2024-01-01 09:00")],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "event_type": pa.array(["purchase", "purchase", "click"],
+                               pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string())})
+    d = tmp_path / "asof"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = A.events_asof_join(str(d)).to_pandas().sort_values("event_id")
+    assert list(out["event_id"]) == [1, 2]      # user 7's purchases
+    assert (out["prior_event_id"] == -1).all()  # no clicks for user 7
+    assert (out["lag_us"] == -1).all()
