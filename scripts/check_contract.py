@@ -16,7 +16,7 @@ os.chdir("/root/repo")
 SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 ONLY = sys.argv[1:] or None
 
-ray.init(address="local", num_cpus=8, include_dashboard=False)
+ray.init(address="local", num_cpus=int(os.environ.get("CHECK_CPUS", "8")), include_dashboard=False)
 import __ray_entry__ as e  # noqa: E402
 
 qs = e.queries()
