@@ -24,6 +24,10 @@ _WORLDS = {
     # more domains than seeds (exercises cross-domain discovery harder)
     "w7": WorldConfig(n_domains=9, total_pages=90, n_corpus=40, seed=7,
                       zipf_s=1.6, n_seeds=2),
+    # third universe: many tiny domains, single seed, flat popularity —
+    # maximizes new-domain discovery churn and sitemap-index coverage
+    "w123": WorldConfig(n_domains=13, total_pages=110, n_corpus=30,
+                        seed=123, zipf_s=1.05, n_seeds=1),
 }
 
 
@@ -125,6 +129,8 @@ def test_distributed_meta_agg_conformance(world, oracle, ray_session):
     """max_local_meta_bytes=0 forces the per-round distributed partial
     pre-agg of domain clock/seq maxima; the crawl must still match the
     oracle exactly (ordering depends on exact clock propagation)."""
+    if world.cfg.seed != 42:   # full extra crawl: one world suffices
+        pytest.skip("forced-path crawl pinned to the w42 world")
     out = "/tmp/ieps_test_crawl_dmeta"
     shutil.rmtree(out, ignore_errors=True)
     C.run_crawl(world, CrawlConfig(out_dir=out, seeds=list(world.seeds),
@@ -139,6 +145,8 @@ def test_rules_rpc_fallback_conformance(world, oracle, ray_session):
     """max_broadcast_rules=0 disables the per-round rules broadcast; the
     gate runs entirely on the batched robots-shard RPC path and the crawl
     must still match the oracle exactly."""
+    if world.cfg.seed != 42:   # full extra crawl: one world suffices
+        pytest.skip("forced-path crawl pinned to the w42 world")
     out = "/tmp/ieps_test_crawl_rpc"
     shutil.rmtree(out, ignore_errors=True)
     C.run_crawl(world, CrawlConfig(out_dir=out, seeds=list(world.seeds),
