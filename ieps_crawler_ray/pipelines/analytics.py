@@ -945,8 +945,33 @@ def _verify_jaccard_pairs(sf_dir: str, cand, threshold: float,
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def _cosine_bucket_pairs(ids: np.ndarray, M: np.ndarray,
+                         threshold: float, max_bucket: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Verified cosine-near-dup id pairs for ONE LSH bucket, bounded
+    memory. ``ids`` must be sorted ascending; ``M`` is the aligned
+    (n, dim) embedding matrix (unnormalized). Under ``max_bucket`` rows
+    the verify is the exact all-pairs similarity matrix (<= cap² cells by
+    construction). Over it, the shared degenerate-bucket policy applies
+    (``_bucket_pair_indices``: logged star links to the minimum id) with
+    an in-place row-dot verify — O(n·dim), never an n×n matrix for a
+    dense embedding region (near-duplicate boilerplate at corpus
+    scale)."""
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    n = len(ids)
+    if n <= max_bucket:
+        sims = M @ M.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+    else:
+        ai, bj = _bucket_pair_indices(n, max_bucket, "embedding_neardup")
+        keep = np.einsum("ij,ij->i", M[ai], M[bj]) >= threshold
+        ai, bj = ai[keep], bj[keep]
+    return ids[ai], ids[bj]
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.9,
-                      planes: int = 12, n_tables: int = 4):
+                      planes: int = 12, n_tables: int = 4,
+                      max_bucket: int = _MAX_BUCKET):
     """Embedding near-dup via MULTI-TABLE random-hyperplane LSH + in-bucket
     exact-cosine verify (the 'scale path' variant of similarity search).
 
@@ -960,7 +985,10 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.9,
     pair at angle theta is split by one 12-plane table with prob
     ~12*theta/pi, but by ALL tables with that to the n_tables-th power.
     Candidate pairs are deduped across tables with a groupby before the
-    exact verify, so precision is 1 and no pair is emitted twice."""
+    exact verify, so precision is 1 and no pair is emitted twice.
+    In-bucket verification runs under the shared ``max_bucket`` policy
+    (``_cosine_bucket_pairs``): exact all-pairs under the cap, logged
+    star-link fallback with row-dot verify over it."""
     rng = np.random.default_rng(11)
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
@@ -993,13 +1021,10 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.9,
         return pd.concat(outs, ignore_index=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")  # deterministic star representative
         M = np.stack(g["embedding"].to_numpy())
-        M = M / np.linalg.norm(M, axis=1, keepdims=True)
-        sims = M @ M.T
         ids = g["vec_id"].to_numpy()
-        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
-        va = np.minimum(ids[ai], ids[bj])
-        vb = np.maximum(ids[ai], ids[bj])
+        va, vb = _cosine_bucket_pairs(ids, M, threshold, max_bucket)
         keep = va != vb
         return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
 

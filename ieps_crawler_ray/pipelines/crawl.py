@@ -373,7 +373,10 @@ class CrawlDriver:
             self.domain_state[d] = (int(c), int(s), old[2])
 
         # content-hash DUPLICATE labels: resolved by the hash-winner shards
-        # at end_round (one RPC per shard; they saw every observation)
+        # at end_round (one RPC per shard; they saw every observation).
+        # Written hive-partitioned on dpart = hash(domain) so the
+        # read_pages overlay can prune to the partitions a batch touches
+        # instead of loading every round's dup set
         ov_dir = os.path.join(rdir, "dup_overrides")
         shutil.rmtree(ov_dir, ignore_errors=True)
         os.makedirs(ov_dir, exist_ok=True)
@@ -381,10 +384,17 @@ class CrawlDriver:
                      ray.get([a.end_round.remote()
                               for a in self.handles["hash"]])
                      for p in dups]
-        pq.write_table(pa.table({
-            "domain": pa.array([d for d, _ in dup_pairs], pa.string()),
-            "seq": pa.array([s for _, s in dup_pairs], pa.int64()),
-        }), os.path.join(ov_dir, "dups.parquet"))
+        dup_by_part: dict = {}
+        for d, s in dup_pairs:
+            dup_by_part.setdefault(
+                shard_of_str(d, cfg.num_domain_partitions), []).append((d, s))
+        for part, prs in sorted(dup_by_part.items()):
+            pdir_ov = os.path.join(ov_dir, f"dpart={part}")
+            os.makedirs(pdir_ov, exist_ok=True)
+            pq.write_table(pa.table({
+                "domain": pa.array([d for d, _ in prs], pa.string()),
+                "seq": pa.array([s for _, s in prs], pa.int64()),
+            }), os.path.join(pdir_ov, "dups.parquet"))
 
         # new-domain discovery -> root enqueue + state entry (domains come
         # back from the writer flush — no read-back scan)
@@ -421,6 +431,7 @@ class CrawlDriver:
             k = str(shard_of_str(d, cfg.num_domain_partitions))
             per_part[k] = per_part.get(k, 0) + int(n)
         _write_manifest(cfg.out_dir, gen, {
+            "num_domain_partitions": cfg.num_domain_partitions,
             "candidates": n_cand, "fetched": n_fetched, "pages": n_pages,
             "pages_total": self.pages_total, "next_candidates": n_next,
             "new_domains": len(self.domain_state),
@@ -490,41 +501,165 @@ def _fetched_paths(out_dir: str) -> list:
     return out
 
 
-def _dup_pair_set(out_dir: str) -> set:
-    """(domain, seq) pairs of content-hash DUPLICATE pages, all rounds."""
+def _dup_override_files(out_dir: str) -> list:
+    """All dup_overrides parquet files across rounds (hive dpart layout;
+    legacy flat files from pre-partitioned crawls are included too)."""
     rdir = os.path.join(out_dir, "rounds")
-    dup: set = set()
+    out = []
     if os.path.isdir(rdir):
-        for g in os.listdir(rdir):
+        for g in sorted(os.listdir(rdir)):
             p = os.path.join(rdir, g, "dup_overrides")
-            if os.path.isdir(p) and os.listdir(p):
-                t = pads.dataset(p, format="parquet").to_table()
-                dup.update(zip(t.column("domain").to_pylist(),
-                               t.column("seq").to_pylist()))
-    return dup
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    out.extend(os.path.join(root, f) for f in sorted(files)
+                               if f.endswith(".parquet"))
+    return out
+
+
+def _dup_map_from_files(paths: list) -> dict:
+    """domain -> sorted int64 seq array of content-hash DUPLICATE pages
+    (the vectorized probe structure for the overlay)."""
+    import numpy as np
+
+    if not paths:
+        return {}
+    t = pads.dataset(paths, format="parquet").to_table(
+        columns=["domain", "seq"])
+    doms = np.asarray(t.column("domain").to_pylist(), dtype=object)
+    seqs = t.column("seq").to_numpy(zero_copy_only=False)
+    out: dict = {}
+    order = np.argsort(doms, kind="stable")
+    doms, seqs = doms[order], seqs[order]
+    uniq, starts = np.unique(doms, return_index=True)
+    bounds = list(starts) + [len(doms)]
+    for i, d in enumerate(uniq):
+        out[d] = np.sort(seqs[bounds[i]:bounds[i + 1]])
+    return out
+
+
+def _overlay_page_type(batch: pa.Table, dup_map: dict) -> pa.Table:
+    """Vectorized DUPLICATE overlay: per unique domain in the batch, an
+    np.isin probe of its seqs against the dup seq array."""
+    import numpy as np
+
+    doms = np.asarray(batch.column("domain").to_pylist(), dtype=object)
+    seqs = batch.column("seq").to_numpy(zero_copy_only=False)
+    mask = np.zeros(len(doms), dtype=bool)
+    for d in np.unique(doms):
+        arr = dup_map.get(d)
+        if arr is not None and len(arr):
+            rows = doms == d
+            mask[rows] = np.isin(seqs[rows], arr)
+    pt = batch.column("page_type")
+    new_pt = pc.if_else(
+        pc.and_(pa.array(mask), pc.equal(pt, "HTML")),
+        pa.scalar("DUPLICATE", pa.string()), pt)
+    i = batch.schema.get_field_index("page_type")
+    return batch.set_column(i, "page_type", new_pt)
+
+
+# broadcast-vs-partition-pruned threshold for the DUPLICATE overlay:
+# below this total dup_overrides size the (domain -> seqs) lookup rides
+# the object store once; above it each overlay actor loads ONLY the
+# dpart partitions its batches touch (duplicates are ~2.5-3% of pages in
+# the reference — linear in crawl size, so never a driver-side set of
+# every dup pair at 10^10 pages)
+_DUP_BROADCAST_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _read_num_partitions(out_dir: str) -> int:
+    """num_domain_partitions recorded in the manifests (any round), with
+    a frontier-dir scan fallback for crawls written before the field."""
+    for m in _read_manifests(out_dir).values():
+        if "num_domain_partitions" in m:
+            return int(m["num_domain_partitions"])
+    best = 0
+    fdir = os.path.join(out_dir, "frontier")
+    if os.path.isdir(fdir):
+        for g in os.listdir(fdir):
+            gd = os.path.join(fdir, g)
+            if os.path.isdir(gd):
+                for d in os.listdir(gd):
+                    if d.startswith("dpart="):
+                        best = max(best, int(d.split("=")[1]) + 1)
+    return max(best, 1)
+
+
+class _DupOverlayStage:
+    """Actor-pool overlay for crawls whose dup set exceeds the broadcast
+    limit: per-actor lazy load of the dpart partitions a batch touches
+    (hive-pruned read), LRU-capped so one actor never accumulates the
+    whole dup set."""
+
+    def __init__(self, part_files: dict, n_parts: int,
+                 max_cached_parts: int = 32):
+        from collections import OrderedDict
+
+        self.part_files = part_files      # dpart -> [parquet files]
+        self.n_parts = n_parts
+        self.max_cached = max_cached_parts
+        self.cache: "OrderedDict[int, dict]" = OrderedDict()
+
+    def _map_for(self, part: int) -> dict:
+        m = self.cache.get(part)
+        if m is None:
+            m = _dup_map_from_files(self.part_files.get(part, []))
+            self.cache[part] = m
+            if len(self.cache) > self.max_cached:
+                self.cache.popitem(last=False)
+        else:
+            self.cache.move_to_end(part)
+        return m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doms = np.asarray(batch.column("domain").to_pylist(), dtype=object)
+        merged: dict = {}
+        for d in np.unique(doms):
+            part_map = self._map_for(shard_of_str(d, self.n_parts))
+            if d in part_map:
+                merged[d] = part_map[d]
+        return _overlay_page_type(batch, merged)
 
 
 def read_pages(out_dir: str) -> rd.Dataset:
     """Final pages table: kind-0 rows plus stored DISALLOWED image/data
-    rows, with content-hash DUPLICATE labels overlaid (broadcast set — at
-    cluster scale this becomes a hash join on (domain, seq))."""
+    rows, with content-hash DUPLICATE labels overlaid. Adaptive plan:
+    under ``_DUP_BROADCAST_LIMIT_BYTES`` the (domain -> seqs) lookup is
+    broadcast once via the object store; above it an actor-pool stage
+    loads only the hive dpart partitions each batch touches (map-side
+    hash join with partition pruning — no driver-side set, no wide
+    shuffle of the page payload)."""
     paths = _fetched_paths(out_dir)
-    dup_ref = ray.put(_dup_pair_set(out_dir))
     ds = rd.read_parquet(
         paths, filter=((pc.field("kind") == 0) |
                        (~pc.field("allowed") & pc.field("stores_page"))))
+    dup_files = _dup_override_files(out_dir)
+    if not dup_files:
+        return ds
+    total = sum(os.path.getsize(p) for p in dup_files)
+    if total <= _DUP_BROADCAST_LIMIT_BYTES:
+        dup_ref = ray.put(_dup_map_from_files(dup_files))
 
-    def overlay(batch: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)
-        doms = batch.column("domain").to_pylist()
-        seqs = batch.column("seq").to_pylist()
-        pt = batch.column("page_type").to_pylist()
-        new_pt = ["DUPLICATE" if (d, s) in dup and p == "HTML" else p
-                  for d, s, p in zip(doms, seqs, pt)]
-        i = batch.schema.get_field_index("page_type")
-        return batch.set_column(i, "page_type", pa.array(new_pt, pa.string()))
+        def overlay(batch: pa.Table) -> pa.Table:
+            return _overlay_page_type(batch, ray.get(dup_ref))
 
-    return ds.map_batches(overlay, batch_format="pyarrow")
+        return ds.map_batches(overlay, batch_format="pyarrow")
+
+    part_files: dict = {}
+    for p in dup_files:
+        part_dir = os.path.basename(os.path.dirname(p))
+        if part_dir.startswith("dpart="):
+            part_files.setdefault(int(part_dir.split("=")[1]), []).append(p)
+        else:  # legacy flat file: un-prunable, attach to every partition
+            for k in range(_read_num_partitions(out_dir)):
+                part_files.setdefault(k, []).append(p)
+    return ds.map_batches(
+        _DupOverlayStage, fn_constructor_kwargs={
+            "part_files": part_files,
+            "n_parts": _read_num_partitions(out_dir)},
+        batch_format="pyarrow", concurrency=(1, 8))
 
 
 def read_images(out_dir: str) -> rd.Dataset:

@@ -318,15 +318,93 @@ def crawl_images(sf_dir: str):
     return imgs.sort_values(["domain", "seq"]).reset_index(drop=True)
 
 
+def _phash_bucket_pairs(urls: np.ndarray, codes: np.ndarray,
+                        max_hamming: int, max_bucket: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Verified near-dup url pairs for ONE band bucket, bounded memory.
+
+    Equal phash codes are collapsed first: equal-code members are pairwise
+    near-dup by definition (Hamming 0), and web image corpora are
+    dominated by exact duplicates (68-83 % in the reference world,
+    ``report/report.tex:181-184``), so the Hamming work is unique-code ×
+    unique-code — never an n×n matrix over every copy of a popular logo.
+
+    Under ``max_bucket`` distinct (url, code) rows the output is EXACT
+    (all within-group pairs + full cross products of close code groups —
+    identical to a naive all-pairs verify). Over the cap, the shared
+    degenerate-bucket policy applies (logged star links): every member
+    links to its equal-code group minimum (Hamming 0, lossless for the
+    dominant exact-dup case) and the unique-code representatives link
+    through ``_bucket_pair_indices`` with an in-place Hamming verify —
+    linear output, reduced cross-code recall, same trade the text
+    near-dup pipelines make.
+
+    ``urls`` must be sorted ascending; ``codes`` is uint64 view aligned
+    with it. Returns canonically ordered (url_a < url_b) arrays.
+    """
+    from .analytics import _bucket_pair_indices, _popcount_u64
+
+    n = len(urls)
+    uniq_i64, inv = np.unique(codes.view(np.int64), return_inverse=True)
+    ucodes = uniq_i64.view(np.uint64)
+    m = len(ucodes)
+    order = np.argsort(inv, kind="stable")  # url idx grouped by code,
+    bounds = np.searchsorted(inv[order], np.arange(m + 1))
+    out_a: list = []
+    out_b: list = []
+
+    def emit(ii: np.ndarray, jj: np.ndarray) -> None:
+        if len(ii):
+            out_a.append(ii)
+            out_b.append(jj)
+
+    if n <= max_bucket:
+        ci, cj = np.triu_indices(m, k=1)
+        close = _popcount_u64(ucodes[ci] ^ ucodes[cj]) <= max_hamming
+        for k in range(m):
+            gi = order[bounds[k]:bounds[k + 1]]
+            ai, bj = np.triu_indices(len(gi), k=1)
+            emit(gi[ai], gi[bj])
+        for a, b in zip(ci[close], cj[close]):
+            ga = order[bounds[a]:bounds[a + 1]]
+            gb = order[bounds[b]:bounds[b + 1]]
+            emit(np.repeat(ga, len(gb)), np.tile(gb, len(ga)))
+    else:
+        for k in range(m):
+            gi = order[bounds[k]:bounds[k + 1]]
+            if len(gi) > 1:
+                emit(np.full(len(gi) - 1, gi[0]), gi[1:])
+        reps = order[bounds[:-1]]  # min url index of each code group
+        ci, cj = _bucket_pair_indices(m, max_bucket,
+                                      "image_phash_neardup")
+        keep = _popcount_u64(ucodes[ci] ^ ucodes[cj]) <= max_hamming
+        emit(reps[ci[keep]], reps[cj[keep]])
+
+    if not out_a:
+        empty = np.array([], dtype=urls.dtype)
+        return empty, empty
+    ia = np.concatenate(out_a)
+    jb = np.concatenate(out_b)
+    ua, ub = urls[ia], urls[jb]
+    swap = ua > ub  # cross-group products aren't url-ordered
+    ua, ub = np.where(swap, ub, ua), np.where(swap, ua, ub)
+    keep = ua != ub  # a url carrying two close codes pairs with itself
+    return ua[keep], ub[keep]
+
+
 def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
-                        bands: int = 4):
+                        bands: int = 4, max_bucket: int | None = None):
     """Near-duplicate images by perceptual hash (the image-axis analog of
     ``simhash_neardup``): distinct downloaded (url, phash) -> 16-bit band
     blocking (LOSSLESS for max_hamming < bands by pigeonhole) -> exact
-    SWAR-popcount Hamming verify within buckets -> distinct pairs. The
-    shuffle carries (band key, url) rows, never pixels."""
-    from .analytics import _popcount_u64
+    SWAR-popcount Hamming verify within buckets (equal codes collapsed,
+    degenerate buckets star-linked under the shared ``_MAX_BUCKET``
+    policy — see ``_phash_bucket_pairs``) -> distinct pairs. The shuffle
+    carries (band key, url) rows, never pixels."""
+    from .analytics import _MAX_BUCKET
 
+    if max_bucket is None:
+        max_bucket = _MAX_BUCKET
     ds = C.read_images(_crawled(sf_dir)) \
         .filter(expr="downloaded == True") \
         .select_columns(["url", "phash"]) \
@@ -358,11 +436,8 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
         g = g.drop_duplicates(["url", "phash"]).sort_values("url")
         urls = g["url"].to_numpy()
         codes = g["phash"].to_numpy().astype(np.int64).view(np.uint64)
-        ham = _popcount_u64(codes[:, None] ^ codes[None, :])
-        ai, bj = np.nonzero(np.triu(ham <= max_hamming, k=1))
-        keep = urls[ai] != urls[bj]
-        return pd.DataFrame({"url_a": urls[ai][keep],
-                             "url_b": urls[bj][keep]})
+        ua, ub = _phash_bucket_pairs(urls, codes, max_hamming, max_bucket)
+        return pd.DataFrame({"url_a": ua, "url_b": ub})
 
     return ds.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band_i", "band_h"]) \

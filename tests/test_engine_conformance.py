@@ -125,6 +125,18 @@ def test_links_join_path_matches_broadcast(oracle, engine_out, monkeypatch):
     assert o == e
 
 
+def test_dup_overlay_partitioned_path_matches_broadcast(oracle, engine_out,
+                                                        monkeypatch):
+    """Force the partition-pruned actor-pool DUPLICATE overlay (threshold
+    0) — the pages view must stay exactly equal to the oracle without the
+    driver ever holding the full dup-pair set."""
+    monkeypatch.setattr(C, "_DUP_BROADCAST_LIMIT_BYTES", 0)
+    _assert_frames_equal(
+        oracle["pages"].to_pandas(), C.read_pages(engine_out).to_pandas(),
+        ["domain", "seq"],
+        ["url", "page_type", "http_status", "content_hash"])
+
+
 def test_distributed_meta_agg_conformance(world, oracle, ray_session):
     """max_local_meta_bytes=0 forces the per-round distributed partial
     pre-agg of domain clock/seq maxima; the crawl must still match the

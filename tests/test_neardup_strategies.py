@@ -116,6 +116,92 @@ def test_simhash_degenerate_bucket_capped(ray_session, tmp_path):
     assert covered == set(range(300))
 
 
+def test_phash_bucket_pairs_degenerate_bounded():
+    """10k copies of one popular image (the expected case: the reference
+    world is 68-83% duplicate images) in one band bucket: equal-code
+    collapse + star-link keeps the output LINEAR and bounded — no n×n
+    Hamming matrix — while every copy stays connected to the
+    representative."""
+    import numpy as np
+
+    from ieps_crawler_ray.pipelines.flagship import _phash_bucket_pairs
+
+    n = 10_000
+    urls = np.array([f"http://a.com/img{i:06d}.png" for i in range(n)],
+                    dtype=object)
+    codes = np.full(n, 0x0123456789ABCDEF, dtype=np.uint64)
+    ua, ub = _phash_bucket_pairs(urls, codes, max_hamming=3, max_bucket=64)
+    assert len(ua) == n - 1                      # star to the minimum url
+    assert set(ua) == {urls[0]}
+    assert set(ub) == set(urls[1:])
+    assert (ua < ub).all()
+
+
+def test_phash_bucket_pairs_exact_under_cap_matches_naive():
+    """Under the cap the collapsed-code path must equal the naive all-pairs
+    verify exactly (mixed equal-code groups + near and far codes)."""
+    import numpy as np
+
+    from ieps_crawler_ray.pipelines.analytics import _popcount_u64
+    from ieps_crawler_ray.pipelines.flagship import _phash_bucket_pairs
+
+    rng = np.random.default_rng(7)
+    base = np.uint64(0xDEADBEEFCAFEBABE)
+    codes = []
+    for k in range(40):
+        c = int(base)
+        for bit in rng.choice(64, size=int(rng.integers(0, 6)),
+                              replace=False):
+            c ^= 1 << int(bit)
+        codes.append(c)
+    codes = np.array(codes, dtype=np.uint64)
+    urls = np.array([f"http://x.si/{i:03d}" for i in range(len(codes))],
+                    dtype=object)
+    ua, ub = _phash_bucket_pairs(urls, codes, max_hamming=3,
+                                 max_bucket=2048)
+    got = set(zip(ua, ub))
+    ham = _popcount_u64(codes[:, None] ^ codes[None, :])
+    ai, bj = np.nonzero(np.triu(ham <= 3, k=1))
+    want = set(zip(urls[ai], urls[bj]))
+    assert got == want
+
+
+def test_cosine_bucket_pairs_degenerate_bounded():
+    """10k near-identical embeddings in one LSH bucket: the capped path
+    emits linear star pairs (all verified at cosine ~1), never an n×n
+    similarity matrix."""
+    import numpy as np
+
+    from ieps_crawler_ray.pipelines.analytics import _cosine_bucket_pairs
+
+    n = 10_000
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    M = base[None, :] + rng.normal(scale=1e-4, size=(n, 16))
+    ids = np.arange(n, dtype=np.int64)
+    va, vb = _cosine_bucket_pairs(ids, M, threshold=0.9, max_bucket=64)
+    assert len(va) == n - 1
+    assert set(va) == {0}
+    assert set(vb) == set(range(1, n))
+
+
+def test_cosine_bucket_pairs_exact_under_cap():
+    import numpy as np
+
+    from ieps_crawler_ray.pipelines.analytics import _cosine_bucket_pairs
+
+    rng = np.random.default_rng(5)
+    M = rng.normal(size=(50, 8))
+    M[10] = M[3] + 1e-6          # one planted near-dup pair
+    ids = np.arange(50, dtype=np.int64)
+    va, vb = _cosine_bucket_pairs(ids, M, threshold=0.999, max_bucket=2048)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    ai, bj = np.nonzero(np.triu(sims >= 0.999, k=1))
+    assert set(zip(va, vb)) == set(zip(ids[ai], ids[bj]))
+    assert (3, 10) in set(zip(va, vb))
+
+
 def test_minhash_uncapped_matches_bruteforce_on_small_corpus(ray_session):
     """Sanity: with the default cap (never triggered at sf0.001) the LSH
     output equals brute-force exact Jaccard >= 0.5 pairs."""
