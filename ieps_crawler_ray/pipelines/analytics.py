@@ -384,6 +384,13 @@ def neardup_clusters(sf_dir: str, strategy: str = None):
     return _clusters_labelprop(pairs_ds)
 
 
+# hash-partition count for the vectorized iterative fan-outs (labelprop,
+# PageRank): the per-sweep shuffle groups on part = key % P — P groups
+# each processed with one vectorized merge, never a per-key pandas call.
+# At cluster scale size P ~4x the core count.
+_FANOUT_PARTITIONS = 64
+
+
 def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
     """Distributed min-label propagation: labels live as a Dataset; each
     sweep joins neighbor labels through a groupby fan-out and keeps the
@@ -403,28 +410,43 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
         .groupby("node").aggregate(Min("lab", alias_name="lab")) \
         .materialize()
     prev_sum = labels.sum("lab")
+    # the fan-out groups on part = key % P (bounded group count), not the
+    # raw node key: each group is a PARTITION whose edges merge-join the
+    # co-partitioned label rows vectorized — same shuffle shape, no
+    # per-node pandas call at 10^10 nodes
+    n_parts = _FANOUT_PARTITIONS
+
+    def _parts(col: pa.ChunkedArray) -> pa.Array:
+        k = col.to_numpy(zero_copy_only=False)
+        return pa.array((k % n_parts).astype(np.int64))
+
     while True:
         def to_edge(b: pa.Table) -> pa.Table:
             return pa.table({"key": b.column("src"),
+                             "part": _parts(b.column("src")),
                              "dst": b.column("dst"),
                              "lab": pa.nulls(b.num_rows, pa.int64())})
 
         def to_lab(b: pa.Table) -> pa.Table:
             return pa.table({"key": b.column("node"),
+                             "part": _parts(b.column("node")),
                              "dst": pa.nulls(b.num_rows, pa.int64()),
                              "lab": b.column("lab")})
 
         def fan_out(g: pd.DataFrame) -> pd.DataFrame:
-            lab = int(g.loc[g["lab"].notna(), "lab"].iloc[0])
-            es = g[g["lab"].isna()]
+            labs = g.loc[g["lab"].notna(), ["key", "lab"]]
+            es = g.loc[g["lab"].isna(), ["key", "dst"]]
+            m = es.merge(labs, on="key")
             # own label rides along under the node's own key
             return pd.DataFrame({
-                "node": [int(g["key"].iloc[0])] + list(es["dst"]),
-                "lab": [lab] * (1 + len(es))})
+                "node": pd.concat([labs["key"], m["dst"]],
+                                  ignore_index=True).astype("int64"),
+                "lab": pd.concat([labs["lab"], m["lab"]],
+                                 ignore_index=True).astype("int64")})
 
         new_labels = edges.map_batches(to_edge, batch_format="pyarrow") \
             .union(labels.map_batches(to_lab, batch_format="pyarrow")) \
-            .groupby("key").map_groups(fan_out, batch_format="pandas") \
+            .groupby("part").map_groups(fan_out, batch_format="pandas") \
             .groupby("node").aggregate(Min("lab", alias_name="lab")) \
             .materialize()
         # convergence: did any label shrink? (join-free checksum: the
@@ -484,12 +506,17 @@ _TFIDF_K = 3  # default k, interpolated into the oracle SQL — keep in sync
 def doc_tfidf_topterms(sf_dir: str, k: int = _TFIDF_K):
     """Top-k TF-IDF terms per document. Scale shape: document-frequency
     table built with per-batch distinct-term partials + one groupby
-    (bounded by vocabulary); the df/N lookup is broadcast (vocabulary is
-    the small side by construction); per-doc scoring + top-k is then a
-    pure per-batch transform — no per-term shuffle of the corpus. Scores
-    in integer milli-units; tf*ln(N/df) is rounded to 9 decimals before
-    the floor (both engines) so a last-ulp libm difference can't move the
-    milli boundary, and ties break on the integer-exact (tf, df, term)."""
+    (bounded by vocabulary); the df/N lookup broadcast is PRUNED to
+    df >= 2 terms — a web corpus's vocabulary tail (typos, URLs, hashes)
+    is overwhelmingly df == 1, and those terms need no lookup at all: a
+    term absent from the pruned dict scores as ln(N/1) per-batch. The
+    broadcast is therefore bounded by the *shared* vocabulary (terms
+    appearing in 2+ docs), not the corpus's unbounded hapax tail; per-doc
+    scoring + top-k is then a pure per-batch transform — no per-term
+    shuffle of the corpus. Scores in integer milli-units; tf*ln(N/df) is
+    rounded to 9 decimals before the floor (both engines) so a last-ulp
+    libm difference can't move the milli boundary, and ties break on the
+    integer-exact (tf, df, term)."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "text"],
                          override_num_blocks=16).materialize()
@@ -503,8 +530,11 @@ def doc_tfidf_topterms(sf_dir: str, k: int = _TFIDF_K):
         return pa.table({"term": pa.array(list(c.keys()), pa.string()),
                          "df": pa.array(list(c.values()), pa.int64())})
 
+    # df == 1 rows are dropped DISTRIBUTED (before any driver pull): only
+    # the shared vocabulary crosses to the driver and into the broadcast
     df_tbl = ds.map_batches(distinct_terms, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+        .groupby("term").aggregate(Sum("df", alias_name="df")) \
+        .filter(expr="df >= 2").to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -516,8 +546,9 @@ def doc_tfidf_topterms(sf_dir: str, k: int = _TFIDF_K):
             tf = Counter(T.TOKEN_RE.findall(text.lower()))
             scored = sorted(
                 ((int(np.floor(
-                    np.round(n * np.log(n_docs / df[w]), 9) * 1e3 + 0.5)),
-                  n, -df[w], w)
+                    np.round(n * np.log(n_docs / df.get(w, 1)), 9)
+                    * 1e3 + 0.5)),
+                  n, -df.get(w, 1), w)
                  for w, n in tf.items()),
                 key=lambda r: (-r[0], -r[1], -r[2], r[3]))[:k]
             for s, _n, _negdf, w in scored:

@@ -749,12 +749,30 @@ def read_links(out_dir: str) -> rd.Dataset:
         .select_columns(["parent_url", "url"])
 
 
-def _semi_keep(edges: rd.Dataset, key_col: str,
-               page_urls: rd.Dataset) -> rd.Dataset:
+# hash-partition count for the vectorized semi-join: the shuffle groups
+# on part = hash(k) % P (P groups total, each a vectorized isin probe)
+# instead of on the raw key (10^10 per-key pandas calls). At cluster
+# scale P should be ~4x the core count; partitions are hash-balanced.
+_SEMI_JOIN_PARTITIONS = 64
+
+
+def _key_parts(col: pa.ChunkedArray, n_parts: int) -> pa.Array:
+    """Deterministic vectorized hash partition of a string column (pandas
+    siphash with its fixed default key — stable across processes)."""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+    return pa.array((h % n_parts).astype(np.int64))
+
+
+def _semi_keep(edges: rd.Dataset, key_col: str, page_urls: rd.Dataset,
+               n_parts: int = _SEMI_JOIN_PARTITIONS) -> rd.Dataset:
     """Partitioned hash semi-join: keep ``edges`` rows whose ``key_col``
-    value appears in ``page_urls.url``. One groupby shuffle on the key;
-    scales as a hash join (the plan required at 10^10 URLs) without the
-    join operator's aggregator-actor pool."""
+    value appears in ``page_urls.url``. One groupby shuffle on
+    hash(key) % n_parts — the same exchange shape as a hash join (the
+    plan required at 10^10 URLs) but each group is a PARTITION processed
+    with one vectorized ``isin`` probe, not a per-key pandas call."""
     import numpy as np
 
     other_col = "url" if key_col == "parent_url" else "parent_url"
@@ -762,24 +780,28 @@ def _semi_keep(edges: rd.Dataset, key_col: str,
     def tag_edges(b: pa.Table) -> pa.Table:
         return pa.table({"k": b.column(key_col),
                          "other": b.column(other_col),
+                         "part": _key_parts(b.column(key_col), n_parts),
                          "is_key": pa.array(
                              np.zeros(b.num_rows, dtype=bool))})
 
     def tag_keys(b: pa.Table) -> pa.Table:
         return pa.table({"k": b.column("url"),
                          "other": pa.nulls(b.num_rows, pa.string()),
+                         "part": _key_parts(b.column("url"), n_parts),
                          "is_key": pa.array(
                              np.ones(b.num_rows, dtype=bool))})
 
     def keep(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        e = g[~g["is_key"]] if g["is_key"].any() else g.iloc[0:0]
+        e = g[~g["is_key"]]
+        keys = g.loc[g["is_key"], "k"]
+        e = e[e["k"].isin(keys)]
         return pd.DataFrame({key_col: e["k"], other_col: e["other"]})
 
     u = edges.map_batches(tag_edges, batch_format="pyarrow").union(
         page_urls.map_batches(tag_keys, batch_format="pyarrow"))
-    return u.groupby("k").map_groups(keep, batch_format="pandas")
+    return u.groupby("part").map_groups(keep, batch_format="pandas")
 
 
 def read_sites(out_dir: str) -> pa.Table:

@@ -705,41 +705,52 @@ def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
             "rank", pa.array([r0] * b.num_rows, pa.float64())),
         batch_format="pyarrow").materialize()
 
+    # the fan-out groups on part = hash(key) % P (bounded group count),
+    # not the raw node key: each group is a PARTITION whose edge rows
+    # merge-join the co-partitioned rank row vectorized — same shuffle
+    # shape, no per-node pandas call at 10^10 nodes
+    from .analytics import _FANOUT_PARTITIONS
+    from .crawl import _key_parts
+
     def to_edge(b: pa.Table) -> pa.Table:
         return pa.table({"key": b.column("parent_url"),
+                         "part": _key_parts(b.column("parent_url"),
+                                            _FANOUT_PARTITIONS),
                          "dst": b.column("url"),
                          "rank": pa.nulls(b.num_rows, pa.float64()),
                          "deg": pa.nulls(b.num_rows, pa.int64())})
 
     def to_rank(b: pa.Table) -> pa.Table:
         return pa.table({"key": b.column("node"),
+                         "part": _key_parts(b.column("node"),
+                                            _FANOUT_PARTITIONS),
                          "dst": pa.nulls(b.num_rows, pa.string()),
                          "rank": b.column("rank"),
                          "deg": b.column("deg")})
 
     def contrib(g: "pd.DataFrame") -> "pd.DataFrame":
-        # one group per node: its rank row + its out-edge rows. Emits the
-        # contribution rows PLUS a self row that carries deg and keeps
-        # zero-in-degree nodes present, PLUS a sentinel row for dangling
-        # mass — so ONE downstream groupby(dst) rebuilds the whole
-        # (node, deg, rank-sum) state (a single shuffle per iteration).
-        rrow = g[g["rank"].notna()]
-        es = g[g["rank"].isna()]
-        r = float(rrow["rank"].iloc[0])
-        dg = int(rrow["deg"].iloc[0])
-        node = str(rrow["key"].iloc[0])
-        dsts = [node]
-        cs = [0.0]
-        degs_out = [dg]
-        if dg == 0:
-            dsts.append(_PR_DANGLING)
-            cs.append(r)
-            degs_out.append(0)
-        else:
-            dsts.extend(es["dst"])
-            cs.extend([r / dg] * len(es))
-            degs_out.extend([0] * len(es))
-        return pd.DataFrame({"dst": dsts, "c": cs, "deg": degs_out})
+        # one group per PARTITION: each node's rank row + its out-edge
+        # rows co-locate. Emits per-edge contribution rows PLUS a self
+        # row per node that carries deg and keeps zero-in-degree nodes
+        # present, PLUS sentinel rows for dangling mass — so ONE
+        # downstream groupby(dst) rebuilds the whole (node, deg,
+        # rank-sum) state (a single shuffle per iteration).
+        rr = g.loc[g["rank"].notna(), ["key", "rank", "deg"]] \
+            .rename(columns={"rank": "r", "deg": "dg"})
+        es = g.loc[g["rank"].isna(), ["key", "dst"]]
+        m = es.merge(rr, on="key")
+        dang = rr[rr["dg"] == 0]
+        return pd.DataFrame({
+            "dst": pd.concat([rr["key"], m["dst"],
+                              pd.Series([_PR_DANGLING] * len(dang))],
+                             ignore_index=True),
+            "c": pd.concat([pd.Series(0.0, index=rr.index),
+                            m["r"] / m["dg"], dang["r"]],
+                           ignore_index=True).astype("float64"),
+            "deg": pd.concat([rr["dg"],
+                              pd.Series(0, index=m.index),
+                              pd.Series(0, index=dang.index)],
+                             ignore_index=True).astype("int64")})
 
     # materialize the static edge side ONCE: without pinning, every
     # iteration would re-run its full upstream lineage (including
@@ -749,7 +760,7 @@ def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
     for _ in range(iterations):
         summed = tagged_edges.union(
             ranks.map_batches(to_rank, batch_format="pyarrow")) \
-            .groupby("key").map_groups(contrib, batch_format="pandas") \
+            .groupby("part").map_groups(contrib, batch_format="pandas") \
             .groupby("dst").aggregate(Sum("c", alias_name="c"),
                                       Sum("deg", alias_name="deg")) \
             .materialize()
