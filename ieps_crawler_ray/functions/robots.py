@@ -136,20 +136,33 @@ def resolve_sitemaps(fetch_fn, sitemap_urls: list,
     ``fetch_fn(url) -> {status, text, ...}``. Returns
     ``(page_urls, top_level_content)`` where the content is the LAST
     successfully fetched top-level document (the value the sites table
-    stores, matching the reference's one-sitemap-per-site column)."""
+    stores, matching the reference's one-sitemap-per-site column).
+
+    A visited set guards against an index listing the same child twice
+    and against cyclic indexes: each sitemap URL is fetched at most once
+    within the depth bound, and the returned page list is deduplicated
+    order-preserving (no geometric fan-out, no duplicate page URLs)."""
     urls: list = []
+    seen_pages: set = set()
+    visited: set = set()
     content = None
     frontier = list(sitemap_urls)
     for depth in range(max_depth):
         children: list = []
         for sm_url in frontier:
+            if sm_url in visited:
+                continue
+            visited.add(sm_url)
             res = fetch_fn(sm_url)
             if res.get("status") == 200 and res.get("text"):
                 if depth == 0:
                     content = res["text"]
                 locs, subs = parse_sitemap(res["text"])
-                urls.extend(locs)
-                children.extend(subs)
+                for u in locs:
+                    if u not in seen_pages:
+                        seen_pages.add(u)
+                        urls.append(u)
+                children.extend(s for s in subs if s not in visited)
         frontier = children
         if not frontier:
             break

@@ -1869,12 +1869,27 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4,
 
 def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
                           sample_mod: int = 4,
-                          max_bucket: int = _MAX_BUCKET):
+                          max_bucket: int = _MAX_BUCKET,
+                          full_post_floor: int = 16):
     """n-gram Jaccard near-dup via a shingle inverted index: each doc
     posts a deterministic sample of its shingle hashes (h % sample_mod ==
     0 — the same shingles for every doc, so co-sampling is consistent),
     the bucket groupby yields candidate pairs, exact Jaccard verifies.
-    The explicit-inverted-index counterpart of the MinHash pipeline."""
+    The explicit-inverted-index counterpart of the MinHash pipeline.
+
+    Docs with fewer than ``full_post_floor`` shingles post ALL their
+    shingles (sampling only pays off for long docs): a qualifying pair
+    of two short docs is then found with certainty. Recall bound for the
+    rest: a pair at Jaccard >= t whose smaller doc has >= F shingles
+    shares >= t*F shingles, so the candidate stage misses it with
+    probability <= (1 - 1/sample_mod)^(t*F) — ~10% at the defaults for
+    the borderline F-shingle case, vanishing for realistic documents
+    (100+ shared shingles). The exact brute-force SQL oracle therefore
+    binds only while no qualifying pair's smaller member is both longer
+    than the floor and near the threshold with few shared shingles —
+    true for every sf tier (long docs, high overlap), pinned separately
+    by the short-doc unit test (same disclosure pattern as the
+    ``_MAX_BUCKET`` note)."""
     import zlib
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
@@ -1885,9 +1900,10 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
         ids, keys = [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            for s in T.word_shingles(t):
-                h = zlib.crc32(s.encode())
-                if h % sample_mod == 0:
+            hs = [zlib.crc32(s.encode()) for s in T.word_shingles(t)]
+            full = len(hs) < full_post_floor
+            for h in hs:
+                if full or h % sample_mod == 0:
                     ids.append(i)
                     keys.append(h)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),

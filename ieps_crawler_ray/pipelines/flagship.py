@@ -99,9 +99,8 @@ def _package_version() -> str:
 
 
 # Fixed per-tier export location for the single-threaded oracle crawler's
-# tables, referenced by the STATIC SQL strings in CRAWL_ORACLE_SQL (the
-# driver's correctness pass runs at sf0.01). ensure_oracle_export() keeps
-# the files fresh (package-version marker).
+# tables, referenced by the tier-derived SQL from crawl_oracle_sql().
+# ensure_oracle_export() keeps the files fresh (package-version marker).
 _ORACLE_EXPORT_BASE = "/tmp/ieps_oracle_export"
 
 
@@ -185,13 +184,20 @@ def ensure_oracle_export(sf_dir: str) -> str:
 
 _X = _ORACLE_EXPORT_BASE + "_sf0.01"  # the driver's correctness tier
 
-# DuckDB oracles for the crawl queries: the oracle CRAWLER's exported
-# tables are the ground truth (conformance tests pin engine == oracle on
-# two other worlds; this makes the equality visible to the driver's
-# hash-compare as real CORRECTNESS rows). oracle_sql() calls
-# ensure_oracle_export() before returning these strings.
-CRAWL_ORACLE_SQL = {
-    "crawl_flagship": f"""
+
+def crawl_oracle_sql(tier: str) -> dict:
+    """DuckDB oracles for the crawl queries AT A GIVEN TIER: the oracle
+    CRAWLER's exported tables are the ground truth (conformance tests pin
+    engine == oracle on two other worlds; this makes the equality visible
+    to the driver's hash-compare as real CORRECTNESS rows). The export
+    dir is derived from the tier so a contract check at any tier — or
+    with a leaked GRAFT_WORLD_TIER env — compares same-world results,
+    never the sf0.01 export against a different engine world.
+    ``oracle_sql()`` calls ``ensure_oracle_export()`` for the same tier
+    before returning these strings."""
+    _X = f"{_ORACLE_EXPORT_BASE}_{tier}"
+    out = {
+        "crawl_flagship": f"""
         SELECT url, domain, page_type, http_status, content_hash, seq,
                fetch_time
         FROM read_parquet('{_X}/pages.parquet')
@@ -261,7 +267,14 @@ CRAWL_ORACLE_SQL = {
                AVG(load_time_ms)
         FROM read_parquet('{_X}/pages.parquet') GROUP BY http_status
     """,
-}
+    }
+    out["crawl_pagerank"] = _pagerank_oracle_sql(f"{_X}/links.parquet")
+    return out
+
+
+# the driver's correctness tier instance (back-compat name; tests and
+# check_contract default to sf0.01)
+CRAWL_ORACLE_SQL = None  # populated lazily below (after _pagerank_oracle_sql)
 
 
 # one crawl per (process, sf tier): every crawl_* query below reads views
@@ -826,8 +839,7 @@ def _pagerank_oracle_sql(links_path: str, iterations: int = _PR_ITERS,
     return head + "".join(its) + tail
 
 
-CRAWL_ORACLE_SQL["crawl_pagerank"] = _pagerank_oracle_sql(
-    f"{_X}/links.parquet")
+CRAWL_ORACLE_SQL = crawl_oracle_sql("sf0.01")
 
 
 def crawl_sites(sf_dir: str):

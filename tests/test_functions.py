@@ -96,8 +96,9 @@ def test_resolve_sitemaps_recurses_index():
     assert "<sitemapindex" in content  # top-level doc is what sites stores
 
 
-def test_resolve_sitemaps_depth_bounded():
-    """A self-referencing index chain terminates at SITEMAP_MAX_DEPTH."""
+def test_resolve_sitemaps_cycle_fetched_once():
+    """A self-referencing index is fetched exactly once (visited set), not
+    once per depth level."""
     calls = []
 
     def fetch(u):
@@ -108,7 +109,50 @@ def test_resolve_sitemaps_depth_bounded():
 
     urls, _ = robots.resolve_sitemaps(fetch, ["http://a.gov.si/loop.xml"])
     assert urls == []
+    assert calls == ["http://a.gov.si/loop.xml"]
+
+
+def test_resolve_sitemaps_depth_bounded():
+    """A non-cyclic chain of distinct indexes terminates at
+    SITEMAP_MAX_DEPTH levels even though every document is fresh."""
+    calls = []
+
+    def fetch(u):
+        calls.append(u)
+        k = int(u.rsplit("-", 1)[1].split(".")[0])
+        return {"status": 200,
+                "text": (f"<sitemapindex><sitemap><loc>http://a.gov.si/"
+                         f"chain-{k + 1}.xml</loc></sitemap>"
+                         f"</sitemapindex>")}
+
+    urls, _ = robots.resolve_sitemaps(fetch, ["http://a.gov.si/chain-0.xml"])
+    assert urls == []
     assert len(calls) == robots.SITEMAP_MAX_DEPTH
+
+
+def test_resolve_sitemaps_duplicate_child_deduped():
+    """An index listing the same child twice fetches it once and returns
+    each page URL once (order preserved)."""
+    calls = []
+    docs = {
+        "http://a.gov.si/idx.xml":
+            "<sitemapindex><sitemap><loc>http://a.gov.si/s.xml</loc>"
+            "</sitemap><sitemap><loc>http://a.gov.si/s.xml</loc>"
+            "</sitemap></sitemapindex>",
+        "http://a.gov.si/s.xml":
+            "<urlset><url><loc>http://a.gov.si/p/1/</loc></url>"
+            "<url><loc>http://a.gov.si/p/2/</loc></url>"
+            "<url><loc>http://a.gov.si/p/1/</loc></url></urlset>",
+    }
+
+    def fetch(u):
+        calls.append(u)
+        t = docs.get(u)
+        return {"status": 200 if t else 404, "text": t}
+
+    urls, _ = robots.resolve_sitemaps(fetch, ["http://a.gov.si/idx.xml"])
+    assert urls == ["http://a.gov.si/p/1/", "http://a.gov.si/p/2/"]
+    assert calls.count("http://a.gov.si/s.xml") == 1
 
 
 def test_world_sitemap_index_parts_union_to_flat_set():

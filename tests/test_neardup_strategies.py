@@ -202,6 +202,31 @@ def test_cosine_bucket_pairs_exact_under_cap():
     assert (3, 10) in set(zip(va, vb))
 
 
+def test_ngram_jaccard_short_docs_found_without_sampling(ray_session,
+                                                         tmp_path):
+    """Two identical SHORT docs (4 shingles, Jaccard 1.0) must surface as
+    a candidate even when the deterministic sample selects none of their
+    shingles (sample_mod astronomically large): the full-post floor
+    posts every shingle of a short doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["tiny page about the municipal budget",  # 6 toks, 4 shingles
+             "tiny page about the municipal budget",
+             "completely different text on another topic entirely here"]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    d = tmp_path / "shortdocs"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = A.ngram_jaccard_neardup(str(d), sample_mod=10 ** 9).to_pandas()
+    assert _pairs(out) == {(0, 1)}
+
+
 def test_minhash_uncapped_matches_bruteforce_on_small_corpus(ray_session):
     """Sanity: with the default cap (never triggered at sf0.001) the LSH
     output equals brute-force exact Jaccard >= 0.5 pairs."""
