@@ -810,11 +810,27 @@ def read_sites(out_dir: str) -> pa.Table:
     return pq.read_table(os.path.join(sdir, gens[-1], "sites.parquet"))
 
 
+def _round6(x: float) -> float:
+    """floor(x*1e6+0.5)/1e6 — the cross-engine rounding protocol (numpy
+    round is half-even, SQL ROUND half-away; FLOOR(+0.5) agrees)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def crawl_stats(out_dir: str) -> "pd.DataFrame":
     """Crawl-statistics aggregation — the reference's post-hoc analysis
-    (A2: counts by page_type, status histogram, dup counts, avg load
-    time; `r/loadTime.R:1-8`, `report/report.tex:166-210`) as one Ray
-    Data pass over the pages view."""
+    (A2: counts by page_type, status histogram, avg load time, frontier
+    wait time; ``r/loadTime.R:1-8``, ``r/waitTime.R:1-8``,
+    ``report/report.tex:166-210``) as Ray Data passes over the pages
+    view. The two ``wait_ms`` rows (mean / population sd of
+    ``fetch_time - enq_time``, the logical frontier-queue wait) carry
+    their value in the ``avg_load_ms`` column; their partials (count,
+    sum, sum-of-squares) are integer-exact per batch so the statistic is
+    summation-order independent and bit-equal to the HUGEINT SQL
+    oracle."""
+    import math
+
     from ray.data.aggregate import Count, Mean
 
     pages = read_pages(out_dir)
@@ -832,7 +848,39 @@ def crawl_stats(out_dir: str) -> "pd.DataFrame":
     by_status["key"] = by_status["key"].map(
         lambda v: None if pd.isna(v) else str(int(v)))
     by_status["stat"] = "http_status"
-    out = pd.concat([by_type, by_status], ignore_index=True)
+
+    # wait-time rows: pruned 2-column read of the pages rows; per-batch
+    # integer partials (Python ints — sums of squares overflow int64 at
+    # crawl scale), one tiny partial row per batch to the driver
+    waits = rd.read_parquet(
+        _fetched_paths(out_dir), columns=["fetch_time", "enq_time"],
+        filter=((pc.field("kind") == 0) |
+                (~pc.field("allowed") & pc.field("stores_page"))))
+
+    def _wait_partial(b: pa.Table) -> pa.Table:
+        w = (b.column("fetch_time").to_numpy(zero_copy_only=False)
+             - b.column("enq_time").to_numpy(zero_copy_only=False)).tolist()
+        return pa.table({
+            "n": pa.array([len(w)], pa.int64()),
+            "s": pa.array([str(sum(w))], pa.string()),
+            "ss": pa.array([str(sum(v * v for v in w))], pa.string())})
+
+    parts = waits.map_batches(_wait_partial,
+                              batch_format="pyarrow").to_pandas()
+    wait_rows = []
+    n_w = int(parts["n"].sum()) if len(parts) else 0
+    if n_w:
+        s_w = sum(int(v) for v in parts["s"])
+        ss_w = sum(int(v) for v in parts["ss"])
+        mean_w = _round6(float(s_w) / n_w)
+        sd_w = _round6(math.sqrt(float(n_w * ss_w - s_w * s_w)) / n_w)
+        wait_rows = [{"stat": "wait_ms", "key": "mean", "n": n_w,
+                      "avg_load_ms": mean_w},
+                     {"stat": "wait_ms", "key": "sd", "n": n_w,
+                      "avg_load_ms": sd_w}]
+
+    out = pd.concat([by_type, by_status, pd.DataFrame(wait_rows)],
+                    ignore_index=True)
     return out[["stat", "key", "n"] +
                [c for c in ("avg_load_ms",) if c in out.columns]]
 

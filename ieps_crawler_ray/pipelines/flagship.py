@@ -141,7 +141,7 @@ def ensure_oracle_export(sf_dir: str) -> str:
 
     write_table(res["pages"].select(
         ["url", "domain", "page_type", "http_status", "content_hash",
-         "load_time_ms", "seq", "fetch_time"]),
+         "load_time_ms", "seq", "fetch_time", "enq_time"]),
         os.path.join(out, "pages.parquet"))
     write_table(res["order"], os.path.join(out, "order.parquet"))
     write_table(res["links"], os.path.join(out, "links.parquet"))
@@ -259,6 +259,13 @@ def crawl_oracle_sql(tier: str) -> dict:
         FROM read_parquet('{_X}/corpus.parquet')
     """,
     "crawl_statistics": f"""
+        WITH w AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CAST(fetch_time - enq_time AS HUGEINT)) AS s,
+                   SUM(CAST(fetch_time - enq_time AS HUGEINT)
+                       * CAST(fetch_time - enq_time AS HUGEINT)) AS ss
+            FROM read_parquet('{_X}/pages.parquet')
+        )
         SELECT 'page_type' AS stat, page_type AS key, COUNT(*) AS n,
                CAST(NULL AS DOUBLE) AS avg_load_ms
         FROM read_parquet('{_X}/pages.parquet') GROUP BY page_type
@@ -266,6 +273,15 @@ def crawl_oracle_sql(tier: str) -> dict:
         SELECT 'http_status', CAST(http_status AS VARCHAR), COUNT(*),
                AVG(load_time_ms)
         FROM read_parquet('{_X}/pages.parquet') GROUP BY http_status
+        UNION ALL
+        SELECT 'wait_ms', 'mean', n,
+               FLOOR(CAST(s AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+        FROM w WHERE n > 0
+        UNION ALL
+        SELECT 'wait_ms', 'sd', n,
+               FLOOR(SQRT(CAST(n * ss - s * s AS DOUBLE)) / n * 1e6 + 0.5)
+                   / 1e6
+        FROM w WHERE n > 0
     """,
     }
     out["crawl_pagerank"] = _pagerank_oracle_sql(f"{_X}/links.parquet")

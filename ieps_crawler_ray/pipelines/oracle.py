@@ -110,7 +110,7 @@ class OracleCrawler:
             root = canonicalize(dom)
             add_candidate({"url": root, "domain": dom, "kind": KIND_HTML,
                            "parent_url": None, "p_dom": "", "p_seq": -1,
-                           "cls": -1, "pos": 0})
+                           "cls": -1, "pos": 0, "enq_time": 0})
             for j, su in enumerate(self.web.get_sitemap_urls(
                     dom, self.sites[dom]["robots_content"])):
                 cu = canonicalize(su)
@@ -118,7 +118,7 @@ class OracleCrawler:
                     continue
                 add_candidate({"url": cu, "domain": dom, "kind": KIND_HTML,
                                "parent_url": None, "p_dom": "", "p_seq": i,
-                               "cls": 0, "pos": j})
+                               "cls": 0, "pos": j, "enq_time": 0})
 
         rnd = 0
         while candidates:
@@ -139,7 +139,7 @@ class OracleCrawler:
                     candidates[dom].append(
                         {"url": root, "domain": dom, "kind": KIND_HTML,
                          "parent_url": None, "p_dom": "", "p_seq": -1,
-                         "cls": -1, "pos": 0})
+                         "cls": -1, "pos": 0, "enq_time": 0})
 
             for dom in sorted(candidates):
                 site = self.sites[dom]
@@ -268,22 +268,27 @@ class OracleCrawler:
             "url": r["url"], "domain": r["domain"], "page_type": ptype,
             "http_status": status, "html": html, "content_hash": chash,
             "load_time_ms": load_ms, "round": rnd, "seq": r["seq"],
-            "fetch_time": r["fetch_time"], "kind": r["kind"],
+            "fetch_time": r["fetch_time"], "enq_time": r.get("enq_time", 0),
+            "kind": r["kind"],
         })
 
     def _extract(self, r: dict, html: str, dom: str, add_next) -> None:
         res = extract_page(html, dom, self.scope)
         purl, pseq = r["url"], r["seq"]
+        # enqueue at the parent's fetch COMPLETION on its domain's
+        # logical clock (fetch_time + the delay tick its fetch paid)
+        enq = r["fetch_time"] + int(r.get("delay_ms", 4000))
         for t in res["edges"]:
             self.edge_records.append((purl, t))
         for i, u in enumerate(res["data_links"]):
             add_next({"url": u, "domain": dom, "kind": KIND_DATA,
                       "parent_url": purl, "p_dom": dom, "p_seq": pseq,
-                      "cls": CLS_DATA, "pos": i})
+                      "cls": CLS_DATA, "pos": i, "enq_time": enq})
         for i, (u, ct, alt) in enumerate(res["images"]):
             add_next({"url": u, "domain": dom, "kind": KIND_IMAGE,
                       "parent_url": purl, "p_dom": dom, "p_seq": pseq,
-                      "cls": CLS_IMAGE, "pos": i, "con_type": ct, "alt": alt})
+                      "cls": CLS_IMAGE, "pos": i, "con_type": ct,
+                      "alt": alt, "enq_time": enq})
         plinks = res["page_links_local"] + res["page_links_remote"]
         # preserve the original extraction order for pos
         order_index = {u: i for i, u in enumerate(res["edges"])}
@@ -293,7 +298,8 @@ class OracleCrawler:
                 continue
             add_next({"url": u, "domain": tdom, "kind": KIND_HTML,
                       "parent_url": purl, "p_dom": dom, "p_seq": pseq,
-                      "cls": CLS_LINK, "pos": order_index.get(u, 0)})
+                      "cls": CLS_LINK, "pos": order_index.get(u, 0),
+                      "enq_time": enq})
 
     # ------------------------------------------------------------------
 
@@ -328,6 +334,7 @@ class OracleCrawler:
             "round": col(self.pages, "round", pa.int32()),
             "seq": col(self.pages, "seq", pa.int64()),
             "fetch_time": col(self.pages, "fetch_time", pa.int64()),
+            "enq_time": col(self.pages, "enq_time", pa.int64()),
         })
         images_tbl = pa.table({
             "filename": col(self.images, "filename", pa.string()),

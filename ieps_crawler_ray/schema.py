@@ -21,6 +21,11 @@ FRONTIER_SCHEMA = pa.schema([
     ("pos", pa.int32()),            # sort key: position within class
     ("con_type", pa.string()),      # images: conType quirk value
     ("alt", pa.string()),           # images: alt text (caption sidecar)
+    # logical enqueue timestamp (parent's fetch completion = fetch_time +
+    # delay_ms; 0 for roots/sitemap rows) — wait_ms = fetch_time -
+    # enq_time is the frontier-queue wait statistic (A2 parity with the
+    # reference's r/waitTime.R)
+    ("enq_time", pa.int64()),
 ])
 
 FETCHED_SCHEMA = pa.schema([
@@ -32,6 +37,7 @@ FETCHED_SCHEMA = pa.schema([
     ("parent_url", pa.string()),
     ("seq", pa.int64()),
     ("fetch_time", pa.int64()),
+    ("enq_time", pa.int64()),
     ("allowed", pa.bool_()),
     ("delay_ms", pa.int64()),
     ("download", pa.bool_()),

@@ -287,8 +287,8 @@ class FetchStage:
         for r in row_iter():
             o = {k: r.get(k) for k in
                  ("url", "h1", "h2", "domain", "kind", "parent_url", "seq",
-                  "fetch_time", "allowed", "delay_ms", "download",
-                  "stores_page", "con_type", "clock_after",
+                  "fetch_time", "enq_time", "allowed", "delay_ms",
+                  "download", "stores_page", "con_type", "clock_after",
                   "next_seq_after")}
             o["round"] = self.round_no
             o.update({"page_type": None, "http_status": None, "html": None,
@@ -393,7 +393,10 @@ class FetchStage:
         cand = extract_candidates(
             [o["url"] for o in ok], [o["domain"] for o in ok],
             [o["seq"] for o in ok], [o["html"] for o in ok],
-            scope, n_parts)
+            scope, n_parts,
+            # enqueue at the parent's fetch COMPLETION on its domain's
+            # logical clock (fetch_time + the delay tick its fetch paid)
+            enq_times=[o["fetch_time"] + o["delay_ms"] for o in ok])
         if cand.num_rows == 0:
             return []
         tag = hashlib.blake2b(
@@ -427,17 +430,22 @@ def make_fetch_fn(web_ref, handles: dict, round_no: int, cand_sink=None):
 # ---------------------------------------------------------------------------
 
 def extract_candidates(urls, domains, seqs, htmls, scope: str,
-                       n_parts: int = 0) -> pa.Table:
+                       n_parts: int = 0, enq_times=None) -> pa.Table:
     """Parse fetched HTML and explode next-round frontier candidates.
     When ``n_parts`` > 0 a ``dpart = blake2b(domain) % n_parts`` column is
     appended — writing hive-partitioned on it IS the engine's domain
     shuffle (explicit hash partitioning, materialized once at write time,
-    read back as complete per-domain blocks next round)."""
+    read back as complete per-domain blocks next round). ``enq_times``
+    (aligned with ``urls``): the parent's logical fetch-completion time
+    stamped on every candidate it emits (0 when absent)."""
     out_url, out_dom, out_kind = [], [], []
     out_parent, out_pdom, out_pseq = [], [], []
-    out_cls, out_pos, out_ct, out_alt = [], [], [], []
+    out_cls, out_pos, out_ct, out_alt, out_enq = [], [], [], [], []
+    if enq_times is None:
+        enq_times = [0] * len(urls)
 
-    def emit(u, dom, kind, parent, pdom, pseq, cls, pos, ct=None, alt=None):
+    def emit(u, dom, kind, parent, pdom, pseq, cls, pos, enq,
+             ct=None, alt=None):
         out_url.append(u)
         out_dom.append(dom)
         out_kind.append(kind)
@@ -448,21 +456,23 @@ def extract_candidates(urls, domains, seqs, htmls, scope: str,
         out_pos.append(pos)
         out_ct.append(ct)
         out_alt.append(alt)
+        out_enq.append(enq)
 
     from ..functions.canonical import extract_domain
-    for u, dom, seq, html in zip(urls, domains, seqs, htmls):
+    for u, dom, seq, html, enq in zip(urls, domains, seqs, htmls,
+                                      enq_times):
         if html is None:
             continue
         res = extract_page(html, dom, scope)
         for i, du in enumerate(res["data_links"]):
-            emit(du, dom, KIND_DATA, u, dom, seq, 0, i)
+            emit(du, dom, KIND_DATA, u, dom, seq, 0, i, enq)
         for i, (iu, ct, alt) in enumerate(res["images"]):
-            emit(iu, dom, KIND_IMAGE, u, dom, seq, 1, i, ct, alt)
+            emit(iu, dom, KIND_IMAGE, u, dom, seq, 1, i, enq, ct, alt)
         for i, lu in enumerate(res["edges"]):
             tdom = extract_domain(lu)
             if not tdom:
                 continue
-            emit(lu, tdom, KIND_HTML, u, dom, seq, 2, i)
+            emit(lu, tdom, KIND_HTML, u, dom, seq, 2, i, enq)
 
     h1, h2 = url_hash128_many(out_url)
     t = pa.table({
@@ -477,6 +487,7 @@ def extract_candidates(urls, domains, seqs, htmls, scope: str,
         "pos": pa.array(out_pos, pa.int32()),
         "con_type": pa.array(out_ct, pa.string()),
         "alt": pa.array(out_alt, pa.string()),
+        "enq_time": pa.array(out_enq, pa.int64()),
     }, schema=S.FRONTIER_SCHEMA)
     if n_parts:
         t = t.append_column("dpart", pa.array(
@@ -495,6 +506,7 @@ def candidate_rows_for_urls(urls_info: list) -> pa.Table:
             "parent_url": None, "p_dom": info.get("p_dom", ""),
             "p_seq": info.get("p_seq", -1), "cls": info.get("cls", -1),
             "pos": info.get("pos", 0), "con_type": None, "alt": None,
+            "enq_time": info.get("enq_time", 0),
         })
     h1, h2 = url_hash128_many([r["url"] for r in rows])
     for r, a, b in zip(rows, h1, h2):

@@ -70,7 +70,7 @@ def test_pages_exact(oracle, engine_out):
     _assert_frames_equal(
         oracle["pages"].to_pandas(), C.read_pages(engine_out).to_pandas(),
         ["url"], ["domain", "page_type", "http_status", "content_hash",
-                  "seq", "fetch_time", "load_time_ms"])
+                  "seq", "fetch_time", "enq_time", "load_time_ms"])
 
 
 def test_per_domain_order_exact(oracle, engine_out):
@@ -123,6 +123,24 @@ def test_links_join_path_matches_broadcast(oracle, engine_out, monkeypatch):
     o = set(map(tuple, oracle["links"].to_pandas().values))
     e = set(map(tuple, C.read_links(engine_out).to_pandas().values))
     assert o == e
+
+
+def test_wait_stats_match_oracle(oracle, engine_out):
+    """crawl_stats' wait_ms mean/sd rows equal an independent integer-
+    exact recomputation from the oracle's pages table (A2 wait-time
+    parity, r/waitTime.R analog)."""
+    import math
+
+    stats = C.crawl_stats(engine_out)
+    w = stats[stats["stat"] == "wait_ms"].set_index("key")["avg_load_ms"]
+    p = oracle["pages"].to_pandas()
+    wait = [int(v) for v in (p["fetch_time"] - p["enq_time"])]
+    n, s, ss = len(wait), sum(wait), sum(v * v for v in wait)
+    assert n > 0
+    mean = math.floor(float(s) / n * 1e6 + 0.5) / 1e6
+    sd = math.floor(math.sqrt(float(n * ss - s * s)) / n * 1e6 + 0.5) / 1e6
+    assert w["mean"] == mean
+    assert w["sd"] == sd
 
 
 def test_dup_overlay_partitioned_path_matches_broadcast(oracle, engine_out,
