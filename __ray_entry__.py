@@ -33,6 +33,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ieps_crawler_ray.pipelines import analytics as A
     from ieps_crawler_ray.pipelines import flagship as F
+    from ieps_crawler_ray.pipelines import quality as Q
 
     # ORDER MATTERS: the driver's correctness pass caps at the first 50
     # entries, so the operators that most need independent verification —
@@ -57,6 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_neardup": F.image_phash_neardup,
         "audio_features": F.audio_features,
         "video_frames": F.video_frames,
+        # corpus quality filtering / packing (round-3; SQL-checked)
+        "doc_gopher_quality": Q.doc_gopher_quality,
+        "doc_dup_ngram_spans": Q.doc_dup_ngram_spans,
+        "doc_pii_redact": Q.doc_pii_redact,
+        "doc_pack_sequences": Q.doc_pack_sequences,
+        "corpus_mixture_sample": Q.corpus_mixture_sample,
         # dedup / fingerprints / language (SQL-checked)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
         "simhash_neardup": A.simhash_neardup,
@@ -115,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
 
     from ieps_crawler_ray.pipelines import flagship as F
     from ieps_crawler_ray.pipelines.analytics import ORACLE_SQL
+    from ieps_crawler_ray.pipelines.quality import QUALITY_ORACLE_SQL
 
     # The crawl oracles read the single-threaded oracle crawler's exported
     # parquet (pure Python, no Ray) — make sure it exists before the SQL
@@ -129,5 +137,6 @@ def oracle_sql() -> dict[str, str]:
     try:
         F.ensure_oracle_export(f"/root/testdata/{tier}")
     except Exception:
-        return dict(ORACLE_SQL)
-    return dict(ORACLE_SQL, **F.crawl_oracle_sql(tier))
+        return dict(ORACLE_SQL, **QUALITY_ORACLE_SQL)
+    return dict(ORACLE_SQL, **QUALITY_ORACLE_SQL,
+                **F.crawl_oracle_sql(tier))

@@ -1,0 +1,458 @@
+"""Corpus quality-filtering and packing operators for the training-data
+pipeline (round-3 extensions over the ``documents`` table):
+
+- ``doc_gopher_quality`` — Gopher-style repetition / quality signals
+  (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1.2):
+  top-word fraction, duplicate-trigram fraction, unique-word fraction,
+  mean word length. Pure per-batch map_batches, no shuffle.
+- ``doc_dup_ngram_spans`` — corpus-level duplicate n-gram statistics
+  (the distributed analog of Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better"): for every document, how many of
+  its word 8-grams occur more than once in the WHOLE corpus. One
+  builtin groupby shuffle on the gram hash + an adaptive
+  broadcast-vs-partitioned membership mark.
+- ``doc_pii_redact`` — deterministic regex redaction of emails / IPv4
+  addresses / international phone numbers with per-doc match counts and
+  an md5 of the redacted text. Per-batch, no shuffle. (The synthetic sf
+  corpora contain no PII, so the sf oracle checks the zero-match
+  invariant; ``tests/test_quality_ops.py`` runs the same kernel against
+  DuckDB on a planted-PII corpus for non-vacuous parity.)
+- ``doc_pack_sequences`` — greedy sequence packing for LLM training:
+  concatenate documents in doc_id order and chop into fixed-size token
+  sequences; each doc reports its global token offset and the sequence
+  ids it spans. A distributed prefix-sum scan: per-batch partials give
+  bucket totals (tiny driver merge), one range-bucket shuffle computes
+  exact within-bucket cumulative sums.
+- ``corpus_mixture_sample`` — weighted dataset mixing: each ``source``
+  gets a deterministic sampling rate (md5-derived permille) and docs
+  are kept by an independent hash draw. Pure per-batch filter.
+
+All float outputs follow the repo's cross-engine rounding protocol
+(``floor(x*1e6 + 0.5) / 1e6`` — numpy rounds half-even, SQL ROUND
+half-away; FLOOR(+0.5) agrees in both). Token regex is ``\\w+`` in both
+engines (same convention as ``analytics.doc_token_counts``).
+
+Reference parity note: the reference crawler (ghajduk3/ieps-crawler) has
+no corpus-quality stage — these are the "beyond the reference" LLM
+training-data operators the graft brief asks for, expressed
+Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from ..functions import text as T
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _r6(x: float) -> float:
+    """Cross-engine rounding: floor(x*1e6 + 0.5) / 1e6."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality signals
+# ---------------------------------------------------------------------------
+
+def doc_gopher_quality(sf_dir: str):
+    """Per-document repetition signals (Gopher rules analog). The sf
+    documents are single-line word streams, so the signals are word- and
+    n-gram-based (line-based rules would be vacuous): top-word fraction,
+    duplicate-trigram fraction, unique-word fraction, mean word length.
+    Embarrassingly parallel — one pruned read, one map_batches, no
+    shuffle; the per-doc Counter work is the algorithmic minimum."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_words, f_top, f_dup3, f_uniq, mean_len = [], [], [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = T.TOKEN_RE.findall(t)
+            n = len(toks)
+            n_words.append(n)
+            if not n:
+                f_top.append(0.0)
+                f_uniq.append(0.0)
+                mean_len.append(0.0)
+                f_dup3.append(0.0)
+                continue
+            c = Counter(toks)
+            f_top.append(_r6(max(c.values()) / n))
+            f_uniq.append(_r6(len(c) / n))
+            mean_len.append(_r6(sum(len(w) for w in toks) / n))
+            ntg = n - 2
+            if ntg <= 0:
+                f_dup3.append(0.0)
+            else:
+                dtg = len({(toks[i], toks[i + 1], toks[i + 2])
+                           for i in range(ntg)})
+                f_dup3.append(_r6((ntg - dtg) / ntg))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "frac_top_word": pa.array(f_top, pa.float64()),
+            "frac_dup_3grams": pa.array(f_dup3, pa.float64()),
+            "frac_uniq_words": pa.array(f_uniq, pa.float64()),
+            "mean_word_len": pa.array(mean_len, pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicate n-gram spans (Lee et al. dedup analog)
+# ---------------------------------------------------------------------------
+
+# above this many duplicated gram keys the membership mark switches from a
+# ray.put broadcast set to the partitioned groupby path (no driver set of
+# unbounded size — the same adaptive policy as analytics._BROADCAST_LIMIT)
+_DUP_SET_LIMIT_ROWS = 2_000_000
+
+
+def doc_dup_ngram_spans(sf_dir: str, n: int = 8):
+    """For each document: how many of its word ``n``-grams occur more
+    than once in the WHOLE corpus (duplicated training spans; the
+    shuffle-based analog of Lee et al.'s suffix-array dedup).
+
+    Scale shape: the explode stage pre-aggregates per batch to
+    ``(gram_md5, doc_id, c)`` rows — the shuffle carries one row per
+    distinct (gram, doc) pair, never text. Corpus totals come from ONE
+    builtin vectorized ``groupby(gh).Sum``; the duplicated-key set is
+    then either broadcast (``ray.put`` once, read per task) when small,
+    or, above ``_DUP_SET_LIMIT_ROWS``, the mark happens inside a
+    partitioned ``groupby(gh).map_groups`` pass instead (no driver
+    structure). A unique per-doc sentinel key (c=0) keeps empty/short
+    docs in the output without a join against the documents table."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gh, did, cnt = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = T.TOKEN_RE.findall(t)
+            c = Counter(" ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1))
+            for g, k in c.items():
+                gh.append(hashlib.md5(
+                    g.encode("utf-8", "surrogatepass")).hexdigest())
+                did.append(i)
+                cnt.append(k)
+            # sentinel: unique key, zero grams — keeps the doc in the
+            # final per-doc aggregate even when it has < n words
+            gh.append(f"s{i}")
+            did.append(i)
+            cnt.append(0)
+        return pa.table({"gh": pa.array(gh, pa.string()),
+                         "doc_id": pa.array(did, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    # materialized once: both the totals pass and the mark pass read it
+    # (object-store blocks, spillable) — without this the text re-explodes
+    # per consumer
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    totals = exploded.groupby("gh").aggregate(Sum("c", alias_name="tc")) \
+        .filter(expr="tc > 1").materialize()
+    n_dup_keys = totals.count()
+
+    if n_dup_keys <= _DUP_SET_LIMIT_ROWS:
+        dup_ref = ray.put(frozenset(
+            r["gh"] for r in totals.take_all()))
+
+        def mark(batch: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            is_dup = np.fromiter(
+                (g in dup for g in batch.column("gh").to_pylist()),
+                dtype=bool, count=batch.num_rows)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "c": batch.column("c"),
+                "dup_c": pa.array(np.where(is_dup, c, 0), pa.int64())})
+
+        marked = exploded.map_batches(mark, batch_format="pyarrow")
+    else:
+        # partitioned path: group by gram key; within one group the
+        # corpus total is just the group sum (documented fallback — a
+        # per-key pandas call, correct at any dup-set size)
+        def mark_group(g: pd.DataFrame) -> pd.DataFrame:
+            tot = g["c"].sum()
+            out = g[["doc_id", "c"]].copy()
+            out["dup_c"] = g["c"] if tot > 1 else 0
+            return out
+
+        marked = exploded.groupby("gh").map_groups(
+            mark_group, batch_format="pandas")
+
+    agg = marked.groupby("doc_id").aggregate(
+        Sum("c", alias_name="n_grams"),
+        Sum("dup_c", alias_name="n_dup_grams"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        nd = batch.column("n_dup_grams").to_numpy(zero_copy_only=False)
+        frac = np.floor(
+            np.divide(nd, ng, out=np.zeros(len(ng), dtype=np.float64),
+                      where=ng > 0) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_dup_grams": pa.array(nd, pa.int64()),
+            "frac_dup": pa.array(frac, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# ASCII-only patterns that parse identically in Python re and DuckDB RE2
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+_EMAIL_RE = re.compile(PII_EMAIL)
+_IP_RE = re.compile(PII_IP)
+_PHONE_RE = re.compile(PII_PHONE)
+
+
+def pii_redact_one(text: str) -> dict:
+    """Count + redact in a fixed order (email -> ip -> phone), so both
+    engines transform identical intermediate strings. Counts are taken
+    on the ORIGINAL text per pattern (independent, like the SQL)."""
+    n_e = len(_EMAIL_RE.findall(text))
+    n_i = len(_IP_RE.findall(text))
+    n_p = len(_PHONE_RE.findall(text))
+    red = _PHONE_RE.sub("[PHONE]", _IP_RE.sub(
+        "[IP]", _EMAIL_RE.sub("[EMAIL]", text)))
+    return {"n_emails": n_e, "n_ips": n_i, "n_phones": n_p,
+            "redacted_hash": hashlib.md5(
+                red.encode("utf-8", "surrogatepass")).hexdigest()}
+
+
+def doc_pii_redact(sf_dir: str):
+    """Deterministic PII redaction over the documents table: per-doc
+    email/IPv4/phone match counts and the md5 of the redacted text.
+    Pure per-batch map_batches (compiled patterns at module import —
+    once per worker process), no shuffle."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [pii_redact_one(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_emails": pa.array([r["n_emails"] for r in rows], pa.int64()),
+            "n_ips": pa.array([r["n_ips"] for r in rows], pa.int64()),
+            "n_phones": pa.array([r["n_phones"] for r in rows], pa.int64()),
+            "redacted_hash": pa.array([r["redacted_hash"] for r in rows],
+                                      pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing (distributed prefix-sum scan)
+# ---------------------------------------------------------------------------
+
+def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
+                       n_buckets: int = 64):
+    """Greedy LLM sequence packing: documents are concatenated in
+    ``doc_id`` order and chopped into fixed ``seq_len``-token training
+    sequences; each doc reports its global ``start_tok`` offset and the
+    ``first_seq``/``last_seq`` ids it lands in.
+
+    This is a distributed prefix-sum (scan): docs are range-bucketed by
+    ``doc_id``; per-batch partials give exact per-bucket token totals
+    (tiny driver merge — one row per bucket x batch, never data rows);
+    ONE ``groupby(bucket)`` shuffle then computes exact within-bucket
+    cumulative sums plus the bucket's global offset. Bucket count is a
+    free parallelism knob; results are bucket-invariant (tested)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    # doc_id range for range-bucketing (pruned single-column read)
+    idr = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id"]) \
+        .aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = idr["min(doc_id)"], idr["max(doc_id)"]
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = [T.token_count(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n, pa.int64()),
+            "bucket": pa.array((ids - lo) // width, pa.int64())})
+
+    cts = ds.map_batches(counts, batch_format="pyarrow")
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        df = batch.select(["bucket", "n_tokens"]).to_pandas()
+        g = df.groupby("bucket", as_index=False)["n_tokens"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = cts.map_batches(bucket_partials,
+                            batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("bucket")["n_tokens"].sum().sort_index()
+    offsets = tot.cumsum().shift(fill_value=0).to_dict()
+    off_ref = ray.put(offsets)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        start = (g["n_tokens"].cumsum() - g["n_tokens"]
+                 + offs[int(g["bucket"].iloc[0])])
+        n_eff = g["n_tokens"].clip(lower=1)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "n_tokens": g["n_tokens"],
+            "start_tok": start.astype("int64"),
+            "first_seq": (start // seq_len).astype("int64"),
+            "last_seq": ((start + n_eff - 1) // seq_len).astype("int64")})
+
+    return cts.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# weighted source-mixture sampling
+# ---------------------------------------------------------------------------
+
+def corpus_mixture_sample(sf_dir: str):
+    """Weighted dataset mixing: every ``source`` gets a deterministic
+    sampling rate in [100, 999] permille (md5-derived from the source
+    name) and each doc is kept by an independent md5 hash draw on its
+    id — the deterministic analog of mixture weights in training-data
+    recipes. Shuffle-free per-batch filter, reproducible across engines
+    (``md5_number_lower`` on the SQL side)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        rates = np.fromiter((100 + T._h64_md5(s) % 900 for s in srcs),
+                            dtype=np.int64, count=len(srcs))
+        draws = np.fromiter(
+            (T._h64_md5(str(i)) % 1000
+             for i in batch.column("doc_id").to_pylist()),
+            dtype=np.int64, count=batch.num_rows)
+        t = pa.table({"doc_id": batch.column("doc_id"),
+                      "source": batch.column("source"),
+                      "rate_permille": pa.array(rates, pa.int64())})
+        return t.filter(pa.array(draws < rates))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (column names match the Ray outputs exactly)
+# ---------------------------------------------------------------------------
+
+QUALITY_ORACLE_SQL = {
+    "doc_gopher_quality": r"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS ws
+                   FROM documents),
+        tok AS (SELECT doc_id, UNNEST(ws) AS word FROM d),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok
+               GROUP BY doc_id, word),
+        wagg AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_c,
+                        COUNT(*) AS n_uniq,
+                        SUM(LEN(word) * c) AS sum_len
+                 FROM wc GROUP BY doc_id),
+        tg AS (SELECT doc_id,
+                      array_to_string(
+                          ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+2],
+                          ' ') AS g
+               FROM d, UNNEST(range(1, len(ws)-1)) AS t(i)),
+        tagg AS (SELECT doc_id, COUNT(*) AS n_tg,
+                        COUNT(DISTINCT g) AS n_dtg
+                 FROM tg GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
+               CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+                    ELSE FLOOR(CAST(w.top_c AS DOUBLE) / w.n_words
+                               * 1e6 + 0.5) / 1e6 END AS frac_top_word,
+               CASE WHEN COALESCE(t.n_tg, 0) = 0 THEN 0.0
+                    ELSE FLOOR(CAST(t.n_tg - t.n_dtg AS DOUBLE) / t.n_tg
+                               * 1e6 + 0.5) / 1e6 END AS frac_dup_3grams,
+               CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+                    ELSE FLOOR(CAST(w.n_uniq AS DOUBLE) / w.n_words
+                               * 1e6 + 0.5) / 1e6 END AS frac_uniq_words,
+               CASE WHEN COALESCE(w.n_words, 0) = 0 THEN 0.0
+                    ELSE FLOOR(CAST(w.sum_len AS DOUBLE) / w.n_words
+                               * 1e6 + 0.5) / 1e6 END AS mean_word_len
+        FROM d LEFT JOIN wagg w USING (doc_id)
+               LEFT JOIN tagg t USING (doc_id)
+    """,
+    "doc_dup_ngram_spans": r"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     array_to_string(
+                         ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+7],
+                         ' ') AS gram
+              FROM d, UNNEST(range(1, len(ws)-6)) AS t(i)),
+        c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g
+              GROUP BY doc_id, gram),
+        tot AS (SELECT gram, SUM(c) AS tc FROM c GROUP BY gram),
+        s AS (SELECT c.doc_id, SUM(c.c) AS n_grams,
+                     SUM(CASE WHEN tot.tc > 1 THEN c.c ELSE 0 END) AS n_dup
+              FROM c JOIN tot USING (gram) GROUP BY c.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.n_dup, 0) AS BIGINT) AS n_dup_grams,
+               CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+                    ELSE FLOOR(CAST(s.n_dup AS DOUBLE) / s.n_grams
+                               * 1e6 + 0.5) / 1e6 END AS frac_dup
+        FROM d LEFT JOIN s USING (doc_id)
+    """,
+    "doc_pii_redact": f"""
+        SELECT doc_id,
+               LEN(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+               LEN(regexp_extract_all(text, '{PII_IP}')) AS n_ips,
+               LEN(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_IP}', '[IP]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g')) AS redacted_hash
+        FROM documents
+    """,
+    "doc_pack_sequences": r"""
+        WITH t AS (SELECT doc_id,
+                          LEN(regexp_extract_all(text, '\w+')) AS n_tokens
+                   FROM documents),
+        s AS (SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS start_tok
+              FROM t)
+        SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(start_tok // 512 AS BIGINT) AS first_seq,
+               CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 512
+                    AS BIGINT) AS last_seq
+        FROM s
+    """,
+    "corpus_mixture_sample": """
+        SELECT doc_id, source,
+               CAST(100 + md5_number_lower(source) % 900 AS BIGINT)
+                   AS rate_permille
+        FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000
+              < 100 + md5_number_lower(source) % 900
+    """,
+}

@@ -1,0 +1,122 @@
+"""Unit tests for the round-3 corpus-quality operators
+(ieps_crawler_ray/pipelines/quality.py): planted-PII parity vs DuckDB
+(the sf corpora carry no PII, so the contract check alone would be
+vacuous for the match counts), dup-ngram broadcast-vs-partitioned path
+parity, pack-sequences bucket invariance, and a hand-computed Gopher
+metrics case."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ieps_crawler_ray.pipelines import quality as Q
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array([f"src{i % 3}" for i in range(len(texts))],
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_pii_redact_planted_parity(ray_session, tmp_path):
+    """Non-vacuous PII parity: planted emails/IPs/phones; the Ray
+    operator's counts and redacted-text hashes must equal DuckDB running
+    the exact oracle SQL over the same parquet."""
+    texts = [
+        "contact alice.smith+dev@example.co.uk or bob@test.org today",
+        "server at 192.168.1.254 and 10.0.0.1 responded",
+        "call +38612345678 or +4915112345678 now",
+        "mixed: eve@corp.io from 8.8.8.8 dialed +12025550123",
+        "no pii here at all just words",
+        "edge a@b.cc 999.999.999.999 +123456 not-a-phone",
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = _sorted(Q.doc_pii_redact(d).to_pandas())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = _sorted(con.execute(
+        Q.QUALITY_ORACLE_SQL["doc_pii_redact"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_emails"].sum() >= 3
+    assert got["n_ips"].sum() >= 4  # 999.x still matches the \d{1,3} quads
+    assert got["n_phones"].sum() >= 3
+
+
+def test_dup_ngram_fallback_path_matches_broadcast(ray_session,
+                                                   monkeypatch):
+    """Force the partitioned groupby mark (dup-set over the broadcast
+    limit) and pin it to the broadcast path's result."""
+    broadcast = _sorted(Q.doc_dup_ngram_spans(SF_SMALL).to_pandas())
+    monkeypatch.setattr(Q, "_DUP_SET_LIMIT_ROWS", 0)
+    partitioned = _sorted(Q.doc_dup_ngram_spans(SF_SMALL).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, partitioned)
+    # non-vacuity: the sf world plants duplicate docs, so dup grams exist
+    assert broadcast["n_dup_grams"].sum() > 0
+
+
+def test_pack_sequences_bucket_invariant(ray_session):
+    """The distributed prefix-sum must be independent of the bucket
+    count (the parallelism knob)."""
+    a = _sorted(Q.doc_pack_sequences(SF_SMALL, n_buckets=1).to_pandas())
+    b = _sorted(Q.doc_pack_sequences(SF_SMALL, n_buckets=7).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    # scan sanity: offsets are the exclusive prefix sum in doc_id order
+    o = a.sort_values("doc_id", ignore_index=True)
+    assert o["start_tok"].iloc[0] == 0
+    assert (o["start_tok"].diff().iloc[1:].to_numpy()
+            == o["n_tokens"].iloc[:-1].to_numpy()).all()
+
+
+def test_gopher_metrics_hand_case(ray_session, tmp_path):
+    """'a a a b' -> 4 words, top-word 3/4, uniq 2/4, mean len 1.0;
+    trigrams (a a a), (a a b) distinct -> dup fraction 0. A second doc
+    'x y x y x y' has repeated trigrams."""
+    d = _write_docs(tmp_path, ["a a a b", "x y x y x y", ""])
+    got = Q.doc_gopher_quality(d).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    r0 = got.iloc[0]
+    assert r0["n_words"] == 4
+    assert r0["frac_top_word"] == 0.75
+    assert r0["frac_uniq_words"] == 0.5
+    assert r0["mean_word_len"] == 1.0
+    assert r0["frac_dup_3grams"] == 0.0
+    r1 = got.iloc[1]
+    # trigrams: xyx yxy xyx yxy -> 4 total, 2 distinct -> dup frac 0.5
+    assert r1["n_words"] == 6
+    assert r1["frac_dup_3grams"] == 0.5
+    r2 = got.iloc[2]
+    assert r2["n_words"] == 0 and r2["frac_top_word"] == 0.0
+
+
+def test_mixture_sample_rates_deterministic(ray_session):
+    """Every kept row's draw is below its source rate; rates depend only
+    on the source name (stable across runs)."""
+    from ieps_crawler_ray.functions.text import _h64_md5
+
+    out = Q.corpus_mixture_sample(SF_SMALL).to_pandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        rate = 100 + _h64_md5(r["source"]) % 900
+        assert r["rate_permille"] == rate
+        assert _h64_md5(str(r["doc_id"])) % 1000 < rate
