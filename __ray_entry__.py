@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": F.image_decode_stats,
         "image_thumbnails": F.image_thumbnails,
         "image_phash_neardup": F.image_phash_neardup,
+        "image_caption_dedup": F.image_caption_dedup,
         "audio_features": F.audio_features,
         "video_frames": F.video_frames,
         # corpus quality filtering / packing (round-3; SQL-checked)

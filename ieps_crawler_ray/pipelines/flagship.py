@@ -240,6 +240,21 @@ def crawl_oracle_sql(tier: str) -> dict:
         FROM im a JOIN im b ON a.url < b.url
         WHERE bit_count(xor(a.ph, b.ph)) <= 3
     """,
+    "image_caption_dedup": f"""
+        WITH im AS (
+            SELECT phash, url, COALESCE(caption, '') AS cap
+            FROM read_parquet('{_X}/images.parquet') WHERE downloaded
+        ), best AS (
+            SELECT phash, url, LEN(cap) AS caption_len,
+                   ROW_NUMBER() OVER (PARTITION BY phash
+                       ORDER BY LEN(cap) DESC, url) AS rk,
+                   COUNT(*) OVER (PARTITION BY phash) AS n_copies
+            FROM im
+        )
+        SELECT phash, url, CAST(caption_len AS BIGINT) AS caption_len,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM best WHERE rk = 1
+    """,
     "audio_features": f"""
         SELECT audio_id, n_samples, sample_rate, rms0_micros, rms1_micros,
                rms2_micros, rms3_micros
@@ -473,6 +488,67 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
         .map_groups(pairs, batch_format="pandas") \
         .groupby(["url_a", "url_b"]).count() \
         .select_columns(["url_a", "url_b"])
+
+
+def image_caption_dedup(sf_dir: str):
+    """LAION-style keep-best-caption image dedup over the crawled images
+    table: downloaded rows grouped by EXACT perceptual hash; the kept
+    representative is the row with the longest caption (tie: smallest
+    url), with the group's copy count. (The reference stores every
+    duplicate image row — ``db/CrawlerDIO.scala:157-166``; this is the
+    training-data selection pass a caption corpus needs on top.)
+
+    Scale shape: per-batch partial reduction first — ONE candidate row +
+    copy count per (phash, batch) leaves each block — then one small
+    builtin ``groupby(phash)`` merge with fully vectorized aggregates:
+    the argmax-by-(caption_len, url) is encoded as a lexicographic
+    ``Min`` key, so no per-key pandas ``map_groups`` is paid. The
+    shuffle carries (phash, key, count) partials, never pixels."""
+    ds = C.read_images(_crawled(sf_dir)) \
+        .filter(expr="downloaded == True") \
+        .select_columns(["url", "caption", "phash"])
+    return _caption_dedup(ds)
+
+
+def _caption_dedup(ds: "rd.Dataset"):
+    """Core keep-best-caption reduction over (url, caption, phash) rows
+    (unit-tested on a length-diverse planted corpus — the sf crawl world's
+    duplicate images all share alt-text lengths, so the longest-caption
+    arm only fires there on the url tie-break)."""
+    from ray.data.aggregate import Min, Sum
+
+    def _keys(cap_len: pd.Series, url: pd.Series) -> pd.Series:
+        # lexicographic argmax encoding: min key == (max len, min url);
+        # 6 digits bound alt-text length (engine captions are alt attrs)
+        return (1_000_000 - cap_len.clip(upper=999_999)) \
+            .map("{:07d}".format) + "|" + url
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        cap = df["caption"].fillna("")
+        df = pd.DataFrame({"phash": df["phash"],
+                           "key": _keys(cap.str.len(), df["url"])})
+        g = df.groupby("phash", as_index=False) \
+            .agg(key=("key", "min"), n=("key", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("phash").aggregate(Min("key", alias_name="key"),
+                                    Sum("n", alias_name="n_copies"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        lens, urls = [], []
+        for k in b.column("key").to_pylist():
+            pre, url = k.split("|", 1)
+            lens.append(1_000_000 - int(pre))
+            urls.append(url)
+        return pa.table({
+            "phash": b.column("phash"),
+            "url": pa.array(urls, pa.string()),
+            "caption_len": pa.array(lens, pa.int64()),
+            "n_copies": b.column("n_copies")})
+
+    return merged.map_batches(decode, batch_format="pyarrow")
 
 
 def crawl_page_data(sf_dir: str):

@@ -5,14 +5,12 @@ vacuous for the match counts), dup-ngram broadcast-vs-partitioned path
 parity, pack-sequences bucket invariance, and a hand-computed Gopher
 metrics case."""
 
-import math
 import os
 
 import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-import pytest
 
 from ieps_crawler_ray.pipelines import quality as Q
 
@@ -120,3 +118,38 @@ def test_mixture_sample_rates_deterministic(ray_session):
         rate = 100 + _h64_md5(r["source"]) % 900
         assert r["rate_permille"] == rate
         assert _h64_md5(str(r["doc_id"])) % 1000 < rate
+
+
+def test_caption_dedup_longest_caption_wins(ray_session):
+    """Planted length-diverse caption groups (the sf crawl world's dup
+    images all share caption lengths, so this arm is otherwise
+    unexercised): longest caption wins, ties break to smallest url;
+    result equals a DuckDB window recomputation."""
+    import ray.data as rd
+
+    from ieps_crawler_ray.pipelines.flagship import _caption_dedup
+
+    rows = pa.table({
+        "url": pa.array(["u3", "u1", "u2", "u9", "u8", "u7", "u6"]),
+        "caption": pa.array(["longest caption here", "short", None,
+                             "same", "same", "other", "tiny"]),
+        "phash": pa.array([5, 5, 5, 9, 9, 9, 2], pa.int64()),
+    })
+    got = _sorted(_caption_dedup(rd.from_arrow(rows)).to_pandas())
+    con = duckdb.connect()
+    con.register("im0", rows.to_pandas())
+    want = _sorted(con.execute("""
+        WITH im AS (SELECT phash, url, COALESCE(caption,'') AS cap FROM im0),
+        best AS (SELECT phash, url, LEN(cap) AS caption_len,
+                        ROW_NUMBER() OVER (PARTITION BY phash
+                            ORDER BY LEN(cap) DESC, url) AS rk,
+                        COUNT(*) OVER (PARTITION BY phash) AS n_copies
+                 FROM im)
+        SELECT phash, url, CAST(caption_len AS BIGINT) AS caption_len,
+               CAST(n_copies AS BIGINT) AS n_copies
+        FROM best WHERE rk = 1""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_ph = got.set_index("phash")
+    assert by_ph.loc[5, "url"] == "u3"      # longest caption wins
+    assert by_ph.loc[9, "url"] == "u7"      # 'other'(5) beats 'same'(4)
+    assert by_ph.loc[2, "n_copies"] == 1
