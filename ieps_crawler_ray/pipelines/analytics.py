@@ -145,8 +145,8 @@ def top_customers_by_spend(sf_dir: str):
     """sort + limit (top-k) with deterministic tie-break."""
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
-    agg = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spend"))
+    agg = _part_groupby_agg(orders, ["o_custkey"],
+                            {"total_spend": ("o_totalprice", "sum")})
     top = agg.sort(["total_spend", "o_custkey"],
                    descending=[True, False]).limit(10).to_pandas()
     top["total_spend"] = top["total_spend"].round(2)
@@ -177,33 +177,36 @@ def events_hourly_activity(sf_dir: str):
         return pa.table({"event_type": batch.column("event_type"),
                          "hour_epoch_s": hour})
 
-    return ev.map_batches(window_key, batch_format="pyarrow") \
-        .groupby(["event_type", "hour_epoch_s"]) \
-        .aggregate(Count(alias_name="n"))
+    return _part_groupby_agg(
+        ev.map_batches(window_key, batch_format="pyarrow"),
+        ["event_type", "hour_epoch_s"], {"n": ("event_type", "size")})
 
 
 def events_distinct_users(sf_dir: str):
     """count-distinct via two-level groupby (exact)."""
     ev = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["event_type", "user_id"])
-    return ev.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="cnt")) \
+    return _distinct_rows(ev, ["event_type", "user_id"]) \
         .groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
 def user_sessions(sf_dir: str):
-    """sessionization: 30-min-gap sessions per user
-    (groupby(key).map_groups over ts-sorted groups)."""
+    """sessionization: 30-min-gap sessions per user. Hash-partitioned on
+    user (``_part_apply``), then fully vectorized inside each partition:
+    one sort by (user, ts), a shifted-diff session-break mask, one
+    Cython groupby — no per-user Python call."""
     ev = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        gaps = np.diff(ts) > 1800 * 1_000_000
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_events": [len(ts)],
-                             "n_sessions": [1 + int(gaps.sum())]})
+        g = g.sort_values(["user_id", "ts"])
+        ts = g["ts"].astype("int64")
+        new_sess = g["user_id"].ne(g["user_id"].shift()) \
+            | (ts.diff() > 1800 * 1_000_000)
+        return g.assign(ns=new_sess).groupby(
+            "user_id", as_index=False, sort=False).agg(
+                n_events=("ns", "size"), n_sessions=("ns", "sum"))
 
-    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return _part_apply(ev, ["user_id"], sess)
 
 
 # ---------------------------------------------------------------------------
@@ -257,10 +260,9 @@ def doc_exact_dedup(sf_dir: str):
                 [content_hash(t) for t in batch.column("text").to_pylist()],
                 pa.string())})
 
-    return ds.map_batches(h, batch_format="pyarrow") \
-        .groupby("text_hash").aggregate(
-            Min("doc_id", alias_name="doc_id"),
-            Count(alias_name="n_copies")) \
+    return _part_groupby_agg(
+        ds.map_batches(h, batch_format="pyarrow"), ["text_hash"],
+        {"doc_id": ("doc_id", "min"), "n_copies": ("doc_id", "size")}) \
         .select_columns(["doc_id", "n_copies"])
 
 
@@ -878,6 +880,103 @@ def _bucket_pairs(ids: np.ndarray, max_bucket: int,
     return ids[ai], ids[bj]
 
 
+_PAIR_PARTITIONS = 64
+
+
+def _partitioned_bucket_pairs(exploded: "rd.Dataset", bucket_cols: list,
+                              pair_fn, n_parts: int = _PAIR_PARTITIONS):
+    """Candidate-pair generation over blocking buckets WITHOUT a
+    per-bucket pandas call: buckets are hash-assigned to ``n_parts``
+    partitions (ONE groupby shuffle — the same exchange shape as
+    ``groupby(bucket_cols)``, just coarser), singleton buckets are
+    dropped with one vectorized ``duplicated`` mask per partition, and
+    ``pair_fn`` (one bucket's sub-frame → pair frame) runs only on the
+    multi-member buckets. The same partition trick as
+    ``crawl._semi_keep``: at ~80k mostly-singleton band buckets the
+    per-key ``map_groups`` constant factor dominates the whole query;
+    with ``n_parts`` groups it disappears (measured 4.1 s → sub-second
+    on the sf0.1 MinHash band stage at 32 cpus).
+
+    All ``bucket_cols`` must be integer-typed (band keys / hashes); the
+    partition id mixes their uint64 views with a golden-ratio multiply,
+    so skewed single columns still spread."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        acc = np.zeros(b.num_rows, dtype=np.uint64)
+        for c in bucket_cols:
+            v = b.column(c).to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False).view(np.uint64)
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) + v
+        part = (acc % np.uint64(n_parts)).astype(np.int64)
+        return b.append_column("part", pa.array(part, pa.int64()))
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(bucket_cols, keep=False)]
+        if g.empty:
+            return pair_fn(g)
+        outs = [pair_fn(gg)
+                for _, gg in g.groupby(bucket_cols, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return exploded.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(part_pairs, batch_format="pandas")
+
+
+def _part_apply(ds: "rd.Dataset", keys: list, fn,
+                n_parts: int = _PAIR_PARTITIONS) -> "rd.Dataset":
+    """Hash-partition ``ds`` on ``keys`` and apply ``fn`` once per
+    PARTITION (not per key group). The SAME exchange shape as
+    ``groupby(keys)`` — every key group lands wholly in one partition —
+    but the per-partition work is one vectorized pandas call, where
+    Ray's ``groupby(...).aggregate``/``map_groups`` pays ~1 ms of Python
+    per output group (fine at 300 groups; measured 260 s at 282k groups
+    on the sf0.1 simhash pair dedup). Keys hash per column with
+    ``pd.util.hash_pandas_object`` (fixed hash key — deterministic
+    across worker processes) so any dtype partitions uniformly."""
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(len(b), dtype=np.uint64)
+        for c in keys:  # per-column vectorized hash, mixed numerically
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) \
+                + pd.util.hash_pandas_object(b[c], index=False).to_numpy()
+        b = b.copy()
+        b["part"] = (acc % np.uint64(n_parts)).astype(np.int64)
+        return b
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["part"]))
+
+    return ds.map_batches(add_part, batch_format="pandas") \
+        .groupby("part").map_groups(run, batch_format="pandas")
+
+
+def _distinct_rows(ds: "rd.Dataset", cols: list,
+                   n_parts: int = _PAIR_PARTITIONS) -> "rd.Dataset":
+    """Distinct over high-cardinality key tuples: one ``_part_apply``
+    exchange + one vectorized ``drop_duplicates`` per partition."""
+    return _part_apply(
+        ds.map_batches(lambda b: b[cols], batch_format="pandas"),
+        cols, lambda g: g.drop_duplicates(cols), n_parts)
+
+
+def _part_groupby_agg(ds: "rd.Dataset", keys: list, named_aggs: dict,
+                      n_parts: int = _PAIR_PARTITIONS) -> "rd.Dataset":
+    """Vectorized high-cardinality groupby-aggregate over the
+    ``_part_apply`` exchange: each partition aggregates with one pandas
+    (Cython) groupby. Because every key group is wholly in one
+    partition, ANY pandas within-group reduction is exact
+    (sum/min/max/size/nunique/...). ``named_aggs``:
+    ``{out_col: (in_col, aggfunc)}``; output columns =
+    ``keys + list(named_aggs)``."""
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(list(keys), as_index=False, sort=False).agg(
+            **{k: pd.NamedAgg(column=c, aggfunc=f)
+               for k, (c, f) in named_aggs.items()})
+
+    return _part_apply(ds, keys, agg, n_parts)
+
+
 def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
                         num_perm: int = 64, bands: int = 16,
                         max_bucket: int = _MAX_BUCKET):
@@ -908,11 +1007,9 @@ def minhash_lsh_neardup(sf_dir: str, threshold: float = 0.5,
         da, db = _bucket_pairs(ids, max_bucket, "minhash_lsh_neardup")
         return pd.DataFrame({"doc_a": da, "doc_b": db})
 
-    cand = ds.map_batches(sigs, batch_format="pyarrow") \
-        .groupby(["band_i", "band_h"]) \
-        .map_groups(pairs, batch_format="pandas")
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands")).select_columns(["doc_a", "doc_b"])
+    cand = _distinct_rows(_partitioned_bucket_pairs(
+        ds.map_batches(sigs, batch_format="pyarrow"),
+        ["band_i", "band_h"], pairs), ["doc_a", "doc_b"])
     return _verify_jaccard_pairs(sf_dir, cand, threshold)
 
 
@@ -1052,6 +1149,9 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.9,
         return pd.concat(outs, ignore_index=True)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"vec_a": np.array([], np.int64),
+                                 "vec_b": np.array([], np.int64)})
         g = g.sort_values("vec_id")  # deterministic star representative
         M = np.stack(g["embedding"].to_numpy())
         ids = g["vec_id"].to_numpy()
@@ -1059,12 +1159,12 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.9,
         keep = va != vb
         return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
 
-    cand = ds.map_batches(plant, batch_format="pandas") \
-        .map_batches(bucket, batch_format="pandas") \
-        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    cand = _partitioned_bucket_pairs(
+        ds.map_batches(plant, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas"),
+        ["bucket"], pairs)
     # dedup across tables (a close pair collides in several)
-    return cand.groupby(["vec_a", "vec_b"]).aggregate(
-        Count(alias_name="n_tables")).select_columns(["vec_a", "vec_b"])
+    return _distinct_rows(cand, ["vec_a", "vec_b"])
 
 
 def knn_cosine(sf_dir: str, k: int = 3, n_queries: int = 5):
@@ -1699,13 +1799,15 @@ def user_value_running_sum(sf_dir: str):
                          columns=["event_id", "user_id", "ts", "value"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # vectorized per partition: one sort, one Cython grouped cumsum
+        g = g.sort_values(["user_id", "ts", "event_id"])
         return pd.DataFrame({
             "event_id": g["event_id"],
             "user_id": g["user_id"],
-            "running_value": g["value"].cumsum().round(2)})
+            "running_value": g.groupby("user_id", sort=False)["value"]
+            .cumsum().round(2)})
 
-    return ev.groupby("user_id").map_groups(running, batch_format="pandas")
+    return _part_apply(ev, ["user_id"], running)
 
 
 def knn_ivf(sf_dir: str, k: int = 3, n_queries: int = 5,
@@ -1860,11 +1962,10 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3, bands: int = 4,
         return pd.DataFrame({"doc_a": ids[ai][keep],
                              "doc_b": ids[bj][keep]})
 
-    cand = ds.map_batches(codes, batch_format="pyarrow") \
-        .groupby(["band_i", "band_h"]).map_groups(pairs,
-                                                  batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands")).select_columns(["doc_a", "doc_b"])
+    cand = _partitioned_bucket_pairs(
+        ds.map_batches(codes, batch_format="pyarrow"),
+        ["band_i", "band_h"], pairs)
+    return _distinct_rows(cand, ["doc_a", "doc_b"])
 
 
 def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
@@ -1914,10 +2015,9 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5,
         da, db = _bucket_pairs(ids, max_bucket, "ngram_jaccard_neardup")
         return pd.DataFrame({"doc_a": da, "doc_b": db})
 
-    cand = ds.map_batches(post, batch_format="pyarrow") \
-        .groupby("shingle_h").map_groups(pairs, batch_format="pandas") \
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared")) \
-        .select_columns(["doc_a", "doc_b"])
+    cand = _distinct_rows(_partitioned_bucket_pairs(
+        ds.map_batches(post, batch_format="pyarrow"),
+        ["shingle_h"], pairs), ["doc_a", "doc_b"])
     return _verify_jaccard_pairs(sf_dir, cand, threshold)
 
 
@@ -1969,20 +2069,23 @@ def suppliers_by_region(sf_dir: str):
 
 def customer_order_counts(sf_dir: str):
     """LEFT OUTER join: every customer with its order count, INCLUDING
-    zero-order customers (the outer-join operator the reference lacks)."""
-    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
-    orders = rd.read_parquet(_pq(sf_dir, "orders"),
-                             columns=["o_custkey", "o_orderkey"])
-    j = cust.join(orders, join_type="left_outer", num_partitions=8,
-                  on=("c_custkey",), right_on=("o_custkey",))
-
-    def cnt(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("c_custkey", as_index=False).agg(
-            n_orders=("o_orderkey", "count"))
-
-    return j.map_batches(cnt, batch_format="pandas") \
-        .groupby("c_custkey").aggregate(Sum("n_orders",
-                                            alias_name="n_orders"))
+    zero-order customers. Realized as the classic join-free
+    union-aggregate (exchange-equivalent to a partitioned outer hash
+    join under the orders→customer FK): customer keys enter the shuffle
+    with n=0, order rows with n=1, one hash-partitioned sum yields every
+    customer with its count — no join operator, half the exchanges of
+    the former ``Dataset.join`` plan (22 s → ~2 s at sf0.1/32 cpus)."""
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"]) \
+        .map_batches(lambda b: b.append_column(
+            "n", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"]) \
+        .map_batches(lambda b: pa.table({
+            "c_custkey": b.column("o_custkey"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")
+    return _part_groupby_agg(cust.union(orders), ["c_custkey"],
+                             {"n_orders": ("n", "sum")})
 
 
 def lineitem_monthly_volume(sf_dir: str):
@@ -2039,9 +2142,9 @@ def events_sliding_window(sf_dir: str, size_s: int = 3 * 3600,
         return pa.table({"event_type": pa.array(ets),
                          "window_start": pa.array(starts, pa.int64())})
 
-    return ev.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["event_type", "window_start"]) \
-        .aggregate(Count(alias_name="n"))
+    return _part_groupby_agg(
+        ev.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_start"], {"n": ("event_type", "size")})
 
 
 def events_type_stats_salted(sf_dir: str, n_salts: int = 16):

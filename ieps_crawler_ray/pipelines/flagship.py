@@ -483,11 +483,11 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
         ua, ub = _phash_bucket_pairs(urls, codes, max_hamming, max_bucket)
         return pd.DataFrame({"url_a": ua, "url_b": ub})
 
-    return ds.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band_i", "band_h"]) \
-        .map_groups(pairs, batch_format="pandas") \
-        .groupby(["url_a", "url_b"]).count() \
-        .select_columns(["url_a", "url_b"])
+    from .analytics import _distinct_rows, _partitioned_bucket_pairs
+
+    return _distinct_rows(_partitioned_bucket_pairs(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["band_i", "band_h"], pairs), ["url_a", "url_b"])
 
 
 def image_caption_dedup(sf_dir: str):
@@ -515,7 +515,7 @@ def _caption_dedup(ds: "rd.Dataset"):
     (unit-tested on a length-diverse planted corpus — the sf crawl world's
     duplicate images all share alt-text lengths, so the longest-caption
     arm only fires there on the url tie-break)."""
-    from ray.data.aggregate import Min, Sum
+    from .analytics import _part_groupby_agg
 
     def _keys(cap_len: pd.Series, url: pd.Series) -> pd.Series:
         # lexicographic argmax encoding: min key == (max len, min url);
@@ -532,9 +532,9 @@ def _caption_dedup(ds: "rd.Dataset"):
             .agg(key=("key", "min"), n=("key", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("phash").aggregate(Min("key", alias_name="key"),
-                                    Sum("n", alias_name="n_copies"))
+    merged = _part_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["phash"],
+        {"key": ("key", "min"), "n_copies": ("n", "sum")})
 
     def decode(b: pa.Table) -> pa.Table:
         lens, urls = [], []
@@ -563,11 +563,11 @@ def crawl_degrees(sf_dir: str):
     """A3 graph degree metrics (the reference computes these offline in
     Gephi — ``report/report.tex:230-232``): out-degree per stored page
     over the deduplicated link edges (one groupby shuffle)."""
-    from ray.data.aggregate import Count
+    from .analytics import _part_groupby_agg
 
-    deg = C.read_links(_crawled(sf_dir)) \
-        .groupby("parent_url").aggregate(Count(alias_name="out_degree")) \
-        .to_pandas()
+    deg = _part_groupby_agg(
+        C.read_links(_crawled(sf_dir)), ["parent_url"],
+        {"out_degree": ("parent_url", "size")}).to_pandas()
     return deg.sort_values("parent_url").reset_index(drop=True)
 
 

@@ -164,9 +164,11 @@ def doc_dup_ngram_spans(sf_dir: str, n: int = 8):
     # materialized once: both the totals pass and the mark pass read it
     # (object-store blocks, spillable) — without this the text re-explodes
     # per consumer
+    from .analytics import _part_groupby_agg
+
     exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
-    totals = exploded.groupby("gh").aggregate(Sum("c", alias_name="tc")) \
+    totals = _part_groupby_agg(exploded, ["gh"], {"tc": ("c", "sum")}) \
         .filter(expr="tc > 1").materialize()
     n_dup_keys = totals.count()
 
@@ -187,21 +189,22 @@ def doc_dup_ngram_spans(sf_dir: str, n: int = 8):
 
         marked = exploded.map_batches(mark, batch_format="pyarrow")
     else:
-        # partitioned path: group by gram key; within one group the
-        # corpus total is just the group sum (documented fallback — a
-        # per-key pandas call, correct at any dup-set size)
-        def mark_group(g: pd.DataFrame) -> pd.DataFrame:
-            tot = g["c"].sum()
+        # partitioned path (no driver structure at any dup-set size):
+        # hash-partition on the gram key; within a partition the corpus
+        # total per gram is one vectorized Cython transform
+        from .analytics import _part_apply
+
+        def mark_part(g: pd.DataFrame) -> pd.DataFrame:
+            tot = g.groupby("gh", sort=False)["c"].transform("sum")
             out = g[["doc_id", "c"]].copy()
-            out["dup_c"] = g["c"] if tot > 1 else 0
+            out["dup_c"] = np.where(tot > 1, g["c"], 0)
             return out
 
-        marked = exploded.groupby("gh").map_groups(
-            mark_group, batch_format="pandas")
+        marked = _part_apply(exploded, ["gh"], mark_part)
 
-    agg = marked.groupby("doc_id").aggregate(
-        Sum("c", alias_name="n_grams"),
-        Sum("dup_c", alias_name="n_dup_grams"))
+    agg = _part_groupby_agg(marked, ["doc_id"],
+                            {"n_grams": ("c", "sum"),
+                             "n_dup_grams": ("dup_c", "sum")})
 
     def finish(batch: pa.Table) -> pa.Table:
         ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
