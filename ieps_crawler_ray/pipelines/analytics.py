@@ -324,8 +324,8 @@ def corpus_ngram_counts(sf_dir: str, top_k: int = 100):
         return pa.table({"ngram": pa.array(list(c.keys()), pa.string()),
                          "n": pa.array(list(c.values()), pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("ngram").aggregate(Sum("n", alias_name="n"))
+    agg = _part_groupby_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["ngram"], {"n": ("n", "sum")})
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         # global top-k ⊆ union of per-block top-k (each ngram's total
@@ -405,11 +405,10 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
 
     edges = pairs_ds.map_batches(bidirect,
                                  batch_format="pandas").materialize()
-    labels = edges.map_batches(
+    labels = _part_groupby_agg(edges.map_batches(
         lambda b: pa.table({"node": b.column("src"),
                             "lab": b.column("src")}),
-        batch_format="pyarrow") \
-        .groupby("node").aggregate(Min("lab", alias_name="lab")) \
+        batch_format="pyarrow"), ["node"], {"lab": ("lab", "min")}) \
         .materialize()
     prev_sum = labels.sum("lab")
     # the fan-out groups on part = key % P (bounded group count), not the
@@ -446,11 +445,11 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
                 "lab": pd.concat([labs["lab"], m["lab"]],
                                  ignore_index=True).astype("int64")})
 
-        new_labels = edges.map_batches(to_edge, batch_format="pyarrow") \
-            .union(labels.map_batches(to_lab, batch_format="pyarrow")) \
-            .groupby("part").map_groups(fan_out, batch_format="pandas") \
-            .groupby("node").aggregate(Min("lab", alias_name="lab")) \
-            .materialize()
+        new_labels = _part_groupby_agg(
+            edges.map_batches(to_edge, batch_format="pyarrow")
+            .union(labels.map_batches(to_lab, batch_format="pyarrow"))
+            .groupby("part").map_groups(fan_out, batch_format="pandas"),
+            ["node"], {"lab": ("lab", "min")}).materialize()
         # convergence: did any label shrink? (join-free checksum: the
         # label sum strictly decreases until the fixpoint). The previous
         # sweep's sum is carried forward — one aggregation per sweep.
@@ -471,34 +470,34 @@ _FUNNEL = ["signup", "click", "purchase"]
 def user_funnel(sf_dir: str):
     """Ordered funnel (signup → click → purchase): how many users reach
     each stage IN ORDER (each stage's event strictly after the previous
-    stage's first qualifying event). Partitioned per user —
-    groupby(user_id).map_groups over each user's bounded history — then a
-    tiny stage-count aggregate."""
+    stage's first qualifying event). Hash-partitioned per user
+    (``_part_apply`` — same exchange shape as ``groupby(user_id)``);
+    within a partition the whole funnel is |stages| vectorized Cython
+    groupby-mins over ALL users at once (per-user frontier timestamps
+    advanced stage by stage), so no per-user Python at 10^10 users. A
+    tiny stage-count aggregate merges the 3-row partials."""
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "ts", "event_type"],
                          filter=pc.field("event_type").isin(_FUNNEL))
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        reached = 0
-        cur = pd.Timestamp.min
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        # frontier: per-user first qualifying ts of the previous stage
+        cur = pd.Series(pd.Timestamp.min,
+                        index=pd.Index(g["user_id"].unique(),
+                                       name="user_id"))
+        counts = []
         for stage in _FUNNEL:
-            nxt = g.loc[(g["event_type"] == stage) & (g["ts"] > cur), "ts"]
-            if nxt.empty:
-                break
-            cur = nxt.min()
-            reached += 1
-        # ALWAYS one row per stage (0/1): no empty object-dtype frames to
-        # trip block-schema unification, and stages nobody reaches still
-        # aggregate to an explicit 0 row — matching the oracle's COUNT(*)
-        # over possibly-empty stage sets
-        return pd.DataFrame({
-            "stage": pd.Series(_FUNNEL, dtype=object),
-            "n_users": pd.Series([1 if i < reached else 0
-                                  for i in range(len(_FUNNEL))],
-                                 dtype="int64")})
+            m = g[g["event_type"] == stage]
+            prev = cur.reindex(m["user_id"]).to_numpy()
+            m = m[m["ts"].to_numpy() > prev]
+            cur = m.groupby("user_id")["ts"].min()  # reached users only
+            counts.append(len(cur))
+        # one partial row per stage (explicit 0s keep unreached stages
+        # present, matching the oracle's COUNT(*) over empty stage sets)
+        return pd.DataFrame({"stage": pd.Series(_FUNNEL, dtype=object),
+                             "n_users": pd.Series(counts, dtype="int64")})
 
-    return ds.groupby("user_id").map_groups(per_user,
-                                            batch_format="pandas") \
+    return _part_apply(ds, ["user_id"], funnel_part) \
         .groupby("stage").aggregate(Sum("n_users", alias_name="n_users"))
 
 
@@ -534,8 +533,9 @@ def doc_tfidf_topterms(sf_dir: str, k: int = _TFIDF_K):
 
     # df == 1 rows are dropped DISTRIBUTED (before any driver pull): only
     # the shared vocabulary crosses to the driver and into the broadcast
-    df_tbl = ds.map_batches(distinct_terms, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("df", alias_name="df")) \
+    df_tbl = _part_groupby_agg(
+        ds.map_batches(distinct_terms, batch_format="pyarrow"),
+        ["term"], {"df": ("df", "sum")}) \
         .filter(expr="df >= 2").to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
 
@@ -605,10 +605,10 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
         return pd.DataFrame({"event_type": out_t, "bucket": out_b,
                              "rho": out_r})
 
-    regs = ds.map_batches(registers, batch_format="pandas",
-                          batch_size=64 * 1024) \
-        .groupby(["event_type", "bucket"]) \
-        .aggregate(Max("rho", alias_name="rho"))
+    regs = _part_groupby_agg(
+        ds.map_batches(registers, batch_format="pandas",
+                       batch_size=64 * 1024),
+        ["event_type", "bucket"], {"rho": ("rho", "max")})
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
         rho = np.zeros(m, dtype=np.int64)
@@ -627,51 +627,54 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
 
 def events_asof_join(sf_dir: str):
     """As-of join (an operator Ray Data lacks — composed per the brief as
-    sort + groupby().map_groups): for each ``purchase`` event, the most
-    recent ``click`` by the same user at or before it. Partitioned by
-    user_id — each group sorts its own bounded history and answers every
-    probe with one vectorized searchsorted. Ties on ts break to the
-    highest event_id (pinned in both engines). Output lag in integer
-    microseconds; -1 sentinels where no prior click exists (keeps int64
-    columns null-free for hash-stable comparison)."""
+    sort + a per-user-partitioned merge): for each ``purchase`` event,
+    the most recent ``click`` by the same user at or before it.
+    Hash-partitioned on user_id (``_part_apply`` — the groupby(user)
+    exchange shape) and answered within each partition by ONE
+    ``pd.merge_asof(..., by="user_id")`` over all of the partition's
+    users at once — a single Cython backward scan, no per-user Python.
+    Ties on ts break to the highest event_id (clicks pre-sorted by
+    (ts, event_id); merge_asof keeps the last match — pinned in both
+    engines). Output lag in integer microseconds; -1 sentinels where no
+    prior click exists (keeps int64 columns null-free for hash-stable
+    comparison)."""
     ds = rd.read_parquet(
         _pq(sf_dir, "events"),
         columns=["event_id", "ts", "user_id", "event_type"],
         filter=pc.field("event_type").isin(["purchase", "click"]))
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["event_type"] == "purchase"].sort_values("event_id")
-        b = g[g["event_type"] == "click"] \
-            .sort_values(["ts", "event_id"])
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["event_type"] == "purchase",
+                  ["event_id", "ts", "user_id"]] \
+            .sort_values("ts", kind="mergesort")
         if a.empty:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),
                                  "prior_event_id": pd.Series([],
                                                             dtype="int64"),
                                  "lag_us": pd.Series([], dtype="int64")})
-        bt = b["ts"].to_numpy()
-        idx = np.searchsorted(bt, a["ts"].to_numpy(), side="right") - 1
-        has = idx >= 0
-        if len(b) == 0:
-            # purchases with zero clicks for this user: all sentinels
-            # (fancy-indexing an empty array would raise even under
-            # np.where's unselected branch)
-            prior_id = np.full(len(a), -1, dtype=np.int64)
-            lag = np.full(len(a), -1, dtype=np.int64)
-        else:
-            safe = np.maximum(idx, 0)
-            prior_id = np.where(has, b["event_id"].to_numpy()[safe], -1)
-            lag = np.where(
-                has,
-                (a["ts"].to_numpy() - bt[safe])
-                .astype("timedelta64[us]").astype(np.int64),
-                -1)
-        return pd.DataFrame({"event_id": a["event_id"].to_numpy(),
-                             "user_id": a["user_id"].to_numpy(),
-                             "prior_event_id": prior_id.astype(np.int64),
-                             "lag_us": lag.astype(np.int64)})
+        b = g.loc[g["event_type"] == "click",
+                  ["event_id", "ts", "user_id"]] \
+            .sort_values(["ts", "event_id"], kind="mergesort") \
+            .rename(columns={"event_id": "prior_event_id"})
+        b["click_ts"] = b["ts"]
+        m = pd.merge_asof(a, b, on="ts", by="user_id",
+                          direction="backward")
+        has = m["prior_event_id"].notna().to_numpy()
+        lag = np.where(
+            has,
+            (m["ts"].to_numpy() - m["click_ts"].to_numpy())
+            .astype("timedelta64[us]").astype(np.int64),
+            -1)
+        return pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(),
+            "user_id": m["user_id"].to_numpy(),
+            "prior_event_id": np.where(
+                has, m["prior_event_id"].fillna(-1).to_numpy(), -1)
+            .astype(np.int64),
+            "lag_us": lag.astype(np.int64)})
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _part_apply(ds, ["user_id"], asof_part)
 
 
 # static value bands for the range-join demo (small side, broadcast)

@@ -719,7 +719,8 @@ def read_links(out_dir: str) -> rd.Dataset:
     if small:
         # distinct computed distributed; only the (bounded) URL column is
         # pulled back and shipped once via the object store
-        distinct = page_urls.groupby("url").count().select_columns(["url"])
+        from .analytics import _distinct_rows
+        distinct = _distinct_rows(page_urls, ["url"])
         urls_ref = ray.put(set(
             u for b in distinct.iter_batches(batch_format="pyarrow")
             for u in b.column("url").to_pylist()))
@@ -744,9 +745,10 @@ def read_links(out_dir: str) -> rd.Dataset:
         pairs = _semi_keep(pairs, "parent_url", page_urls)
         pairs = _semi_keep(pairs, "url", page_urls)
 
-    # exact dedup on the edge pair (groupby shuffle)
-    return pairs.groupby(["parent_url", "url"]).count() \
-        .select_columns(["parent_url", "url"])
+    # exact dedup on the edge pair (one hash-partitioned shuffle, one
+    # vectorized drop_duplicates per partition — no per-edge group calls)
+    from .analytics import _distinct_rows
+    return _distinct_rows(pairs, ["parent_url", "url"])
 
 
 # hash-partition count for the vectorized semi-join: the shuffle groups

@@ -445,15 +445,14 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
     degenerate buckets star-linked under the shared ``_MAX_BUCKET``
     policy — see ``_phash_bucket_pairs``) -> distinct pairs. The shuffle
     carries (band key, url) rows, never pixels."""
-    from .analytics import _MAX_BUCKET
+    from .analytics import _MAX_BUCKET, _distinct_rows
 
     if max_bucket is None:
         max_bucket = _MAX_BUCKET
-    ds = C.read_images(_crawled(sf_dir)) \
-        .filter(expr="downloaded == True") \
-        .select_columns(["url", "phash"]) \
-        .groupby(["url", "phash"]).count() \
-        .select_columns(["url", "phash"])
+    ds = _distinct_rows(
+        C.read_images(_crawled(sf_dir))
+        .filter(expr="downloaded == True")
+        .select_columns(["url", "phash"]), ["url", "phash"])
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
@@ -782,27 +781,31 @@ def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
     on the driver. materialize() per iteration bounds lineage growth (the
     standard Ray Data iterative-algorithm pattern)."""
     import numpy as np
-    from ray.data.aggregate import Count, Sum
+
+    from .analytics import _distinct_rows, _part_groupby_agg
 
     def as_node(col):
         def f(b: pa.Table) -> pa.Table:
             return pa.table({"node": b.column(col)})
         return f
 
-    degs = edges.groupby("parent_url").aggregate(Count(alias_name="deg")) \
+    degs = _part_groupby_agg(edges, ["parent_url"],
+                             {"deg": ("parent_url", "size")}) \
         .map_batches(lambda b: pa.table({"node": b.column("parent_url"),
                                          "deg": b.column("deg")}),
                      batch_format="pyarrow")
-    nodes = edges.map_batches(as_node("parent_url"),
-                              batch_format="pyarrow") \
-        .union(edges.map_batches(as_node("url"), batch_format="pyarrow")) \
-        .groupby("node").count().select_columns(["node"])
+    nodes = _distinct_rows(
+        edges.map_batches(as_node("parent_url"), batch_format="pyarrow")
+        .union(edges.map_batches(as_node("url"), batch_format="pyarrow")),
+        ["node"])
     n = nodes.count()
-    nd = nodes.map_batches(
-        lambda b: pa.table({"node": b.column("node"),
-                            "deg": pa.array([0] * b.num_rows, pa.int64())}),
-        batch_format="pyarrow").union(degs) \
-        .groupby("node").aggregate(Sum("deg", alias_name="deg"))
+    nd = _part_groupby_agg(
+        nodes.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "deg": pa.array([0] * b.num_rows,
+                                                pa.int64())}),
+            batch_format="pyarrow").union(degs),
+        ["node"], {"deg": ("deg", "sum")})
 
     r0 = 1.0 / n
     ranks = nd.map_batches(
@@ -863,11 +866,11 @@ def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
     tagged_edges = edges.map_batches(to_edge,
                                      batch_format="pyarrow").materialize()
     for _ in range(iterations):
-        summed = tagged_edges.union(
-            ranks.map_batches(to_rank, batch_format="pyarrow")) \
-            .groupby("part").map_groups(contrib, batch_format="pandas") \
-            .groupby("dst").aggregate(Sum("c", alias_name="c"),
-                                      Sum("deg", alias_name="deg")) \
+        summed = _part_groupby_agg(
+            tagged_edges.union(
+                ranks.map_batches(to_rank, batch_format="pyarrow"))
+            .groupby("part").map_groups(contrib, batch_format="pandas"),
+            ["dst"], {"c": ("c", "sum"), "deg": ("deg", "sum")}) \
             .materialize()
         dang_tbl = summed.map_batches(
             lambda b: b.filter(pc.equal(b.column("dst"), _PR_DANGLING)),
