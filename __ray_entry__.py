@@ -33,6 +33,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from ieps_crawler_ray.pipelines import analytics as A
     from ieps_crawler_ray.pipelines import flagship as F
+    from ieps_crawler_ray.pipelines import mlprep as M
     from ieps_crawler_ray.pipelines import quality as Q
 
     # ORDER MATTERS: the driver's correctness pass caps at the first 50
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": F.image_thumbnails,
         "image_phash_neardup": F.image_phash_neardup,
         "image_caption_dedup": F.image_caption_dedup,
+        "image_caption_align": F.image_caption_align,
         "audio_features": F.audio_features,
         "video_frames": F.video_frames,
         # corpus quality filtering / packing (round-3; SQL-checked)
@@ -78,6 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,
+        # sketches / clustering / semantic dedup (round-3; SQL-checked)
+        "corpus_heavy_hitters_cms": M.corpus_heavy_hitters_cms,
+        "embedding_kmeans": M.embedding_kmeans,
+        "embedding_semdedup": M.embedding_semdedup,
         # sampling / corpus statistics (SQL-checked)
         "doc_hash_sample": A.doc_hash_sample,
         "doc_stratified_sample": A.doc_stratified_sample,
@@ -123,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
 
     from ieps_crawler_ray.pipelines import flagship as F
     from ieps_crawler_ray.pipelines.analytics import ORACLE_SQL
+    from ieps_crawler_ray.pipelines.mlprep import MLPREP_ORACLE_SQL
     from ieps_crawler_ray.pipelines.quality import QUALITY_ORACLE_SQL
 
     # The crawl oracles read the single-threaded oracle crawler's exported
@@ -138,6 +145,6 @@ def oracle_sql() -> dict[str, str]:
     try:
         F.ensure_oracle_export(f"/root/testdata/{tier}")
     except Exception:
-        return dict(ORACLE_SQL, **QUALITY_ORACLE_SQL)
-    return dict(ORACLE_SQL, **QUALITY_ORACLE_SQL,
+        return dict(ORACLE_SQL, **QUALITY_ORACLE_SQL, **MLPREP_ORACLE_SQL)
+    return dict(ORACLE_SQL, **QUALITY_ORACLE_SQL, **MLPREP_ORACLE_SQL,
                 **F.crawl_oracle_sql(tier))

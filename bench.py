@@ -100,6 +100,10 @@ def run_bench() -> dict:
         timed("minhash_lsh_neardup", lambda: A.minhash_lsh_neardup(sf_dir))
         timed("doc_simhash", lambda: A.doc_simhash(sf_dir))
         timed("knn_cosine", lambda: A.knn_cosine(sf_dir))
+        from ieps_crawler_ray.pipelines import mlprep as M
+        timed("corpus_heavy_hitters_cms",
+              lambda: M.corpus_heavy_hitters_cms(sf_dir))
+        timed("embedding_semdedup", lambda: M.embedding_semdedup(sf_dir))
 
     total = round(sum(queries.values()), 3)
     result = {

@@ -300,6 +300,26 @@ def crawl_oracle_sql(tier: str) -> dict:
     """,
     }
     out["crawl_pagerank"] = _pagerank_oracle_sql(f"{_X}/links.parquet")
+    out["image_caption_align"] = rf"""
+        WITH img AS (
+            SELECT url, list_distinct(
+                       regexp_extract_all(lower(caption), '\w+')) AS cw,
+                   list_distinct(
+                       regexp_extract_all(lower(url), '\w+')) AS uw
+            FROM read_parquet('{_X}/images.parquet')
+            WHERE caption IS NOT NULL),
+        sc AS (
+            SELECT url, LEN(cw) AS n_cap, LEN(uw) AS n_url,
+                   LEN(list_filter(cw,
+                       x -> list_contains(uw, x))) AS n_inter
+            FROM img)
+        SELECT url, CAST(n_cap AS BIGINT) AS n_cap,
+               CAST(n_url AS BIGINT) AS n_url,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST((n_inter * 1000000)
+                    // (n_cap + n_url - n_inter) AS BIGINT) AS jaccard_ppm
+        FROM sc
+    """
     return out
 
 
@@ -548,6 +568,45 @@ def _caption_dedup(ds: "rd.Dataset"):
             "n_copies": b.column("n_copies")})
 
     return merged.map_batches(decode, batch_format="pyarrow")
+
+
+def image_caption_align(sf_dir: str):
+    """Caption–image alignment scoring over the crawled image+caption
+    table (the CLIP-score-shaped filter stage of a LAION-style corpus
+    pipeline, with a deterministic text-only proxy: token overlap
+    between the caption and the image URL — the URL carries the image's
+    identity token, so a caption that names its image scores > 0).
+    Pure per-batch map, no shuffle; all outputs are integers (token
+    counts + Jaccard in ppm via integer floor-division), so the SQL
+    oracle matches bit-exactly. Token convention: ``\\w+`` over
+    ``lower()`` — the same as ``analytics.doc_token_counts``."""
+    import re
+    tok = re.compile(r"\w+", re.UNICODE)
+    ds = C.read_images(_crawled(sf_dir)) \
+        .select_columns(["url", "caption"])
+
+    def score(b: pa.Table) -> pa.Table:
+        urls, ncap, nurl, inter, jac = [], [], [], [], []
+        for u, c in zip(b.column("url").to_pylist(),
+                        b.column("caption").to_pylist()):
+            if c is None:
+                continue
+            cw = set(tok.findall(c.lower()))
+            uw = set(tok.findall(u.lower()))
+            i = len(cw & uw)
+            un = len(cw) + len(uw) - i
+            urls.append(u)
+            ncap.append(len(cw))
+            nurl.append(len(uw))
+            inter.append(i)
+            jac.append((i * 1_000_000) // un if un else 0)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "n_cap": pa.array(ncap, pa.int64()),
+                         "n_url": pa.array(nurl, pa.int64()),
+                         "n_inter": pa.array(inter, pa.int64()),
+                         "jaccard_ppm": pa.array(jac, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def crawl_page_data(sf_dir: str):

@@ -1,0 +1,483 @@
+"""ML-data-prep operators (round-3 extensions): sketch-based heavy
+hitters, distributed k-means over embeddings, and SemDeDup-style
+semantic deduplication.
+
+- ``corpus_heavy_hitters_cms`` — count-min-sketch heavy hitters over
+  corpus word BIGRAMS (Cormode & Muthukrishnan 2005). The sketch is the
+  ONLY global state: per-batch counts are folded into a fixed d×w
+  counter grid (d=4 rows, w=2048 cells — 8 KiB regardless of corpus
+  size), merged with one bounded groupby, and broadcast back for the
+  estimate pass. Candidates are the distinct bigrams (vocab-bounded
+  exchange, the same boundedness argument as ``corpus_ngram_counts``).
+  Output: top-k bigrams by ESTIMATED count (CMS overestimates on
+  collisions are part of the semantics; the SQL oracle recomputes the
+  identical cell sums, so estimates match bit-exactly — all arithmetic
+  is int64).
+
+- ``embedding_kmeans`` — fixed-iteration Lloyd k-means over the
+  ``embeddings`` table, INTEGER-QUANTIZED for cross-engine exactness:
+  coordinates are fixed-point ints (``floor(x*1e6+0.5)``), so every
+  squared distance and every dot product is an integer < 2^53 and is
+  EXACT in float64 regardless of summation order — the argmin ties out
+  identically in numpy and DuckDB with no rounding-protocol hazard.
+  Centroid update rounds back to the integer grid
+  (``floor(sum/count + 0.5)``, IEEE-identical in both engines). Scale
+  shape: centroids (k×dim) broadcast per iteration; each pass emits
+  k×(dim+1) partial-sum rows per block (never the vectors), merged on
+  the driver (bounded by blocks×k×dim, not by n).
+
+- ``embedding_semdedup`` — semantic dedup in the SemDeDup shape
+  (Abbas et al. 2023: cluster embeddings, then drop in-cluster
+  near-duplicates): k-means cluster assignment, then within each
+  cluster KEEP a vector iff no SMALLER-id vector in the same cluster
+  has cosine >= tau with it ("dominated-by-earlier" — a deterministic,
+  SQL-expressible variant of the paper's per-cluster pruning; at scale
+  k grows ~n/target_cluster_size so clusters stay bounded, which is
+  exactly the paper's regime). The raw synthetic embeddings have no
+  near-dup pairs (max off-diagonal cosine ~0.51), so the query plants
+  deterministic companions exactly like ``analytics.embedding_neardup``
+  (vec_id%20==0 gains id+1_000_000 with coordinate 0 shifted +0.01)
+  and the oracle mirrors the derivation. The cosine test is evaluated
+  as ``dot>0 AND (dot*dot)*10000 >= (|a|^2*|b|^2)*9801`` (tau=0.99) —
+  dot and the squared norms are exact integers in float64, and the two
+  final products use the SAME association order in numpy and SQL, so
+  the IEEE results are identical.
+
+Reference parity note: ghajduk3/ieps-crawler has no sketch / clustering
+stage — these are "beyond the reference" training-data operators from
+the graft brief, expressed Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions import text as T
+from .analytics import _distinct_rows, _part_apply, _part_groupby_agg
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 2048
+_CMS_P = 2147483647          # 2^31 - 1 (Mersenne prime)
+_CMS_A = [293339, 591893, 917503, 374321]   # < 2^20: a*x < 2^52, exact
+_CMS_B = [12345, 67891, 24683, 98765]
+_CMS_TOPK = 64
+
+
+def _cms_cells(x: np.ndarray) -> np.ndarray:
+    """(d, n) cell index per row for 32-bit keys ``x`` (uint64 in,
+    products < 2^52 so no wraparound)."""
+    x = x.astype(np.uint64)
+    out = np.empty((_CMS_D, len(x)), dtype=np.int64)
+    for j in range(_CMS_D):
+        out[j] = (((np.uint64(_CMS_A[j]) * x + np.uint64(_CMS_B[j]))
+                   % np.uint64(_CMS_P)) % np.uint64(_CMS_W)).astype(np.int64)
+    return out
+
+
+def _bigrams(text: str) -> list:
+    toks = T.TOKEN_RE.findall(text.lower())
+    return [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+
+
+def corpus_heavy_hitters_cms(sf_dir: str, top_k: int = _CMS_TOPK):
+    """Top-k corpus bigrams by count-min-sketch ESTIMATE (d=4, w=2048).
+
+    Two streaming passes over ``documents``: (1) per-batch bigram counts
+    folded into local d×w grids, emitted as (row, cell, n) partials and
+    merged by one bounded groupby (≤ d·w = 8192 groups — the exchange
+    never carries tokens); the merged 8 KiB sketch is ``ray.put`` once.
+    (2) distinct bigrams (vocab-bounded) probe the broadcast sketch:
+    estimate = min over d rows of the hashed cell. Top-k by (est desc,
+    token asc) — ties break on the raw byte order both engines share
+    for ASCII. Key = low 32 bits of ``md5_number_lower`` so the SQL
+    oracle rebuilds identical cells in BIGINT arithmetic."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_bigrams(t))
+        if not c:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        keys = np.array([T._h64_md5(s) % (1 << 32) for s in c],
+                        dtype=np.uint64)
+        cnts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        cells = _cms_cells(keys)
+        grid = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for j in range(_CMS_D):
+            np.add.at(grid[j], cells[j], cnts)
+        rows, cols = np.nonzero(grid)
+        return pa.table({"row": pa.array(rows.astype(np.int64)),
+                         "cell": pa.array(cols.astype(np.int64)),
+                         "n": pa.array(grid[rows, cols])})
+
+    merged = _part_groupby_agg(
+        ds.map_batches(grid_partial, batch_format="pyarrow"),
+        ["row", "cell"], {"n": ("n", "sum")}).to_pandas()
+    sketch = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    sketch[merged["row"], merged["cell"]] = merged["n"]
+    sk_ref = ray.put(sketch)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t in batch.column("text").to_pylist():
+            seen.update(_bigrams(t))
+        return pa.table({"token": pa.array(sorted(seen), pa.string())})
+
+    cand = _distinct_rows(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"), ["token"])
+
+    def estimate(batch: pd.DataFrame) -> pd.DataFrame:
+        sk = ray.get(sk_ref)
+        if not len(batch):
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "est": pd.Series(dtype="int64")})
+        keys = np.array([T._h64_md5(s) % (1 << 32) for s in batch["token"]],
+                        dtype=np.uint64)
+        cells = _cms_cells(keys)
+        ests = np.min(
+            np.stack([sk[j, cells[j]] for j in range(_CMS_D)]), axis=0)
+        # per-batch partial top-k: global top-k ⊆ union of block top-ks
+        out = pd.DataFrame({"token": batch["token"].to_numpy(),
+                            "est": ests.astype(np.int64)})
+        return out.sort_values(["est", "token"],
+                               ascending=[False, True]).head(top_k)
+
+    parts = cand.map_batches(estimate, batch_format="pandas").to_pandas()
+    return parts.sort_values(["est", "token"], ascending=[False, True]) \
+        .head(top_k).reset_index(drop=True)
+
+
+def _cms_oracle_sql(top_k: int = _CMS_TOPK) -> str:
+    cells = "\n          UNION ALL ".join(
+        f"SELECT tok, n, {j} AS row, "
+        f"CAST((({_CMS_A[j]} * x + {_CMS_B[j]}) % {_CMS_P}) % {_CMS_W} "
+        f"AS BIGINT) AS cell FROM keyed"
+        for j in range(_CMS_D))
+    return f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(lower(text), '\\w+') AS w
+            FROM documents),
+        bg AS (
+            SELECT w[i] || ' ' || w[i + 1] AS tok
+            FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+        cnt AS (SELECT tok, COUNT(*) AS n FROM bg GROUP BY tok),
+        keyed AS (
+            SELECT tok, n,
+                   CAST(md5_number_lower(tok) % 4294967296 AS BIGINT) AS x
+            FROM cnt),
+        cells AS ({cells}),
+        cellsum AS (
+            SELECT row, cell, SUM(n) AS s FROM cells GROUP BY row, cell),
+        est AS (
+            SELECT c.tok, MIN(cs.s) AS est
+            FROM cells c JOIN cellsum cs USING (row, cell)
+            GROUP BY c.tok)
+        SELECT tok AS token, CAST(est AS BIGINT) AS est
+        FROM est ORDER BY est DESC, token LIMIT {top_k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Integer-quantized k-means
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SCALE = 1_000_000
+
+
+def _quantize(M: np.ndarray) -> np.ndarray:
+    """Fixed-point quantization (floor(x*1e6+0.5)): the repo's standard
+    half-up protocol; makes all distance arithmetic integer-exact."""
+    return np.floor(M.astype(np.float64) * _KM_SCALE + 0.5).astype(np.int64)
+
+
+def _assign(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Argmin cluster per row. d2 terms are integers < 2^53 → exact in
+    float64 in any order; ties break to the lowest cluster id (argmin
+    returns the first minimum; SQL ORDER BY d2, cid does the same)."""
+    Mf = M.astype(np.float64)
+    Cf = C.astype(np.float64)
+    d2 = (Mf * Mf).sum(axis=1, keepdims=True) \
+        - 2.0 * (Mf @ Cf.T) + (Cf * Cf).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def _kmeans_fit(qds: "rd.Dataset", k: int, iterations: int,
+                dim: int) -> np.ndarray:
+    """Lloyd iterations over a materialized quantized dataset with
+    columns (vec_id, qe list<int64>). Init = the k smallest vec_ids'
+    vectors. Per pass each block emits k×(dim+1) partial rows (sums +
+    counts) — bounded by blocks×k×dim, never by n — merged on the
+    driver; empty clusters keep their previous centroid."""
+    init = qds.filter(expr=f"vec_id < {k}").to_pandas() \
+        .sort_values("vec_id")
+    C = np.stack(init["qe"].to_numpy()).astype(np.int64)
+    assert C.shape == (k, dim)
+
+    for _ in range(iterations):
+        c_ref = ray.put(C)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            Cb = ray.get(c_ref)
+            M = np.stack(batch["qe"].to_numpy()).astype(np.int64)
+            a = _assign(M, Cb)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, M)
+            cnts = np.bincount(a, minlength=k).astype(np.int64)
+            cid = np.repeat(np.arange(k, dtype=np.int64), dim + 1)
+            j = np.tile(np.concatenate([np.arange(dim, dtype=np.int64),
+                                        [-1]]), k)
+            s = np.concatenate(
+                [np.concatenate([sums[c], [cnts[c]]]) for c in range(k)])
+            return pd.DataFrame({"cid": cid, "j": j, "s": s})
+
+        p = qds.map_batches(partials, batch_format="pandas") \
+            .to_pandas().groupby(["cid", "j"], as_index=False)["s"].sum()
+        cnts = p[p["j"] == -1].set_index("cid")["s"]
+        sums = p[p["j"] >= 0].pivot(index="cid", columns="j",
+                                    values="s").to_numpy()
+        newC = C.copy()
+        for c in range(k):
+            n = int(cnts.get(c, 0))
+            if n > 0:
+                # identical IEEE ops in SQL: FLOOR(SUM(v)::DOUBLE/n + .5)
+                newC[c] = np.floor(
+                    sums[c].astype(np.float64) / n + 0.5).astype(np.int64)
+        C = newC
+    return C
+
+
+def _quantized_ds(sf_dir: str, plant: bool = False) -> "rd.Dataset":
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        if plant:  # same derivation as analytics.embedding_neardup
+            sel = ids % 20 == 0
+            Mp = M[sel].copy()
+            Mp[:, 0] += 0.01
+            M = np.concatenate([M, Mp])
+            ids = np.concatenate([ids, ids[sel] + 1_000_000])
+        return pd.DataFrame({"vec_id": ids, "qe": list(_quantize(M))})
+
+    return ds.map_batches(prep, batch_format="pandas").materialize()
+
+
+def embedding_kmeans(sf_dir: str, k: int = _KM_K,
+                     iterations: int = _KM_ITERS):
+    """Fixed-iteration integer-quantized Lloyd k-means: final cluster
+    assignment per vector (plus the per-cluster size via one tiny
+    groupby in the SQL compare shape). See module docstring for the
+    exactness argument."""
+    qds = _quantized_ds(sf_dir)
+    dim = len(qds.take(1)[0]["qe"])
+    C = _kmeans_fit(qds, k, iterations, dim)
+    c_ref = ray.put(C)
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch["qe"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(),
+                             "cluster": _assign(M, ray.get(c_ref))})
+
+    return qds.map_batches(final, batch_format="pandas")
+
+
+def _kmeans_sql_chain(k: int, iterations: int, plant: bool) -> str:
+    """Shared CTE chain: quantized (optionally planted) embeddings `q`,
+    centroid iterations c0..cT, final assignment aN."""
+    if plant:
+        base = """
+        raw AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+        aug AS (
+            SELECT vec_id, e FROM raw
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_prepend(e[1] + 0.01, e[2:]) AS e
+            FROM raw WHERE vec_id % 20 = 0),
+        """
+    else:
+        base = """
+        aug AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+        """
+    head = f"""
+        WITH {base}
+        q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(e,
+                       x -> FLOOR(x * 1000000 + 0.5)) AS qe
+            FROM aug),
+        c0 AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   qe AS ce
+            FROM q ORDER BY vec_id LIMIT {k})
+    """
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+        , a{i} AS MATERIALIZED (
+            SELECT vec_id, qe, cid FROM (
+                SELECT q.vec_id, q.qe, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_inner_product(q.qe, q.qe)
+                           - 2 * list_inner_product(q.qe, c.ce)
+                           + list_inner_product(c.ce, c.ce),
+                           c.cid) AS rn
+                FROM q CROSS JOIN c{i - 1} c) WHERE rn = 1),
+        c{i} AS MATERIALIZED (
+            SELECT p.cid, COALESCE(m.ce, p.ce) AS ce
+            FROM c{i - 1} p LEFT JOIN (
+                SELECT cid, list(cv ORDER BY j) AS ce FROM (
+                    SELECT cid, j, FLOOR(SUM(v) / COUNT(*) + 0.5) AS cv
+                    FROM (SELECT cid, UNNEST(qe) AS v,
+                                 generate_subscripts(qe, 1) AS j
+                          FROM a{i})
+                    GROUP BY cid, j) GROUP BY cid) m
+            ON p.cid = m.cid)
+        """)
+    return head + "".join(its)
+
+
+def _kmeans_oracle_sql(k: int = _KM_K,
+                       iterations: int = _KM_ITERS) -> str:
+    # one extra assignment against the FINAL centroids (mirrors the
+    # engine's final pass after the last update)
+    chain = _kmeans_sql_chain(k, iterations, plant=False)
+    return chain + f"""
+        , afin AS (
+            SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_inner_product(q.qe, q.qe)
+                           - 2 * list_inner_product(q.qe, c.ce)
+                           + list_inner_product(c.ce, c.ce),
+                           c.cid) AS rn
+                FROM q CROSS JOIN c{iterations} c) WHERE rn = 1)
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afin
+    """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+_SDD_TAU_NUM = 9801      # tau^2 = 0.9801 → tau = 0.99
+_SDD_TAU_DEN = 10000
+_SDD_CHUNK = 2048
+
+
+def embedding_semdedup(sf_dir: str, k: int = _KM_K,
+                       iterations: int = _KM_ITERS):
+    """SemDeDup-style semantic dedup (see module docstring): k-means over
+    the planted-companion embedding set, then per-cluster keep-first at
+    cosine >= 0.99. Output one row per vector: (vec_id, cluster, kept).
+    The in-cluster check runs in chunked row blocks (``_SDD_CHUNK`` rows
+    of the Gram product at a time), so a dense cluster costs bounded
+    memory; at scale k grows with n so clusters stay ~constant-size."""
+    qds = _quantized_ds(sf_dir, plant=True)
+    dim = len(qds.take(1)[0]["qe"])
+    C = _kmeans_fit(qds, k, iterations, dim)
+    c_ref = ray.put(C)
+
+    def with_cluster(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch["qe"].to_numpy()).astype(np.int64)
+        batch = batch.copy()
+        batch["cluster"] = _assign(M, ray.get(c_ref))
+        return batch
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, gg in g.groupby("cluster", sort=False):
+            gg = gg.sort_values("vec_id")
+            M = np.stack(gg["qe"].to_numpy()).astype(np.float64)
+            ids = gg["vec_id"].to_numpy()
+            na2 = (M * M).sum(axis=1)          # exact ints in float64
+            n = len(gg)
+            dominated = np.zeros(n, dtype=bool)
+            for lo in range(0, n, _SDD_CHUNK):
+                hi = min(lo + _SDD_CHUNK, n)
+                G = M[lo:hi] @ M.T             # exact ints (< 2^53)
+                lhs = (G * G) * float(_SDD_TAU_DEN)
+                rhs = np.multiply.outer(na2[lo:hi], na2) \
+                    * float(_SDD_TAU_NUM)
+                close = (G > 0) & (lhs >= rhs)
+                # only j < i (strictly earlier vec_id) can dominate
+                jj = np.arange(n)[None, :]
+                ii = np.arange(lo, hi)[:, None]
+                dominated[lo:hi] = (close & (jj < ii)).any(axis=1)
+            outs.append(pd.DataFrame({
+                "vec_id": ids,
+                "cluster": np.full(n, cid, dtype=np.int64),
+                "kept": ~dominated}))
+        if not outs:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "kept": pd.Series(dtype=bool)})
+        return pd.concat(outs, ignore_index=True)
+
+    return _part_apply(
+        qds.map_batches(with_cluster, batch_format="pandas"),
+        ["cluster"], dedup_cluster)
+
+
+def _semdedup_oracle_sql(k: int = _KM_K,
+                         iterations: int = _KM_ITERS) -> str:
+    chain = _kmeans_sql_chain(k, iterations, plant=True)
+    return chain + f"""
+        , afin AS MATERIALIZED (
+            SELECT vec_id, qe, cid FROM (
+                SELECT q.vec_id, q.qe, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_inner_product(q.qe, q.qe)
+                           - 2 * list_inner_product(q.qe, c.ce)
+                           + list_inner_product(c.ce, c.ce),
+                           c.cid) AS rn
+                FROM q CROSS JOIN c{iterations} c) WHERE rn = 1)
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+               NOT EXISTS (
+                   SELECT 1 FROM afin b
+                   WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                     AND list_inner_product(a.qe, b.qe) > 0
+                     AND (list_inner_product(a.qe, b.qe)
+                          * list_inner_product(a.qe, b.qe))
+                         * {_SDD_TAU_DEN} >=
+                         (list_inner_product(a.qe, a.qe)
+                          * list_inner_product(b.qe, b.qe))
+                         * {_SDD_TAU_NUM}
+               ) AS kept
+        FROM afin a
+    """
+
+
+MLPREP_ORACLE_SQL = {
+    "corpus_heavy_hitters_cms": _cms_oracle_sql(),
+    "embedding_kmeans": _kmeans_oracle_sql(),
+    "embedding_semdedup": _semdedup_oracle_sql(),
+}

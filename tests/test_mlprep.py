@@ -1,0 +1,94 @@
+"""Unit tests for the ML-data-prep operators (mlprep.py): CMS heavy
+hitters, integer-quantized k-means, SemDeDup. The SQL-oracle hash
+compare is the primary check (scripts/check_contract.py); these tests
+pin the sketch/cluster semantics against independent local recomputes
+and exercise the bounded-memory chunking path."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ieps_crawler_ray.pipelines import mlprep as M
+
+SF = "/root/testdata/sf0.001"
+
+
+def _exact_bigram_counts() -> Counter:
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for s in t.column("text").to_pylist():
+        toks = re.findall(r"\w+", s.lower())
+        c.update(toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1))
+    return c
+
+
+def test_cms_estimates_dominate_exact(ray_session):
+    out = M.corpus_heavy_hitters_cms(SF)
+    exact = _exact_bigram_counts()
+    assert len(out) == M._CMS_TOPK
+    # CMS never underestimates; estimates are exact when no row collides
+    for tok, est in zip(out["token"], out["est"]):
+        assert est >= exact[tok] > 0
+    # ordering contract: est desc, token asc
+    key = list(zip(-out["est"], out["token"]))
+    assert key == sorted(key)
+
+
+def _local_kmeans(k: int, iterations: int) -> pd.DataFrame:
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    E = np.stack(t["embedding"].to_numpy())
+    Q = M._quantize(E)
+    ids = t["vec_id"].to_numpy()
+    C = Q[ids < k]  # t is sorted by vec_id → rows already in id order
+    for _ in range(iterations):
+        a = M._assign(Q, C)
+        newC = C.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                newC[c] = np.floor(
+                    Q[sel].sum(axis=0).astype(np.float64) / sel.sum()
+                    + 0.5).astype(np.int64)
+        C = newC
+    return pd.DataFrame({"vec_id": ids, "cluster": M._assign(Q, C)})
+
+
+def test_kmeans_matches_local_lloyd(ray_session):
+    got = M.embedding_kmeans(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    want = _local_kmeans(M._KM_K, M._KM_ITERS) \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"cluster": "int64"}),
+        want.astype({"cluster": "int64"}))
+
+
+def test_semdedup_drops_planted_companions(ray_session):
+    out = M.embedding_semdedup(SF).to_pandas()
+    planted = out[out["vec_id"] >= 1_000_000]
+    originals = out[out["vec_id"] < 1_000_000]
+    assert len(planted) > 0
+    # every planted companion is dominated by its (smaller-id) original;
+    # raw synthetic vectors have max pairwise cosine ~0.51 << 0.99
+    assert not planted["kept"].any()
+    assert originals["kept"].all()
+
+
+def test_semdedup_chunked_verify_parity(ray_session, monkeypatch):
+    base = M.embedding_semdedup(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    monkeypatch.setattr(M, "_SDD_CHUNK", 3)
+    chunked = M.embedding_semdedup(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, chunked)
+
+
+def test_cms_cells_in_range():
+    cells = M._cms_cells(np.array([0, 1, 2**32 - 1], dtype=np.uint64))
+    assert cells.shape == (M._CMS_D, 3)
+    assert (cells >= 0).all() and (cells < M._CMS_W).all()
