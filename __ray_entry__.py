@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_heavy_hitters_cms": M.corpus_heavy_hitters_cms,
         "embedding_kmeans": M.embedding_kmeans,
         "embedding_semdedup": M.embedding_semdedup,
+        "knn_pq_adc": M.knn_pq_adc,
         # sampling / corpus statistics (SQL-checked)
         "doc_hash_sample": A.doc_hash_sample,
         "doc_stratified_sample": A.doc_stratified_sample,

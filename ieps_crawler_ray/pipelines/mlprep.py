@@ -476,8 +476,241 @@ def _semdedup_oracle_sql(k: int = _KM_K,
     """
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (IVF-free ADC variant)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_K = 8          # codewords per subspace
+_PQ_ITERS = 2
+_PQ_NQ = 5         # query ids (vec_id < _PQ_NQ), same split as knn_cosine
+_PQ_TOPK = 3
+
+
+def _pq_fit(qds: "rd.Dataset", m: int, k: int, iterations: int,
+            dim: int) -> np.ndarray:
+    """Train m per-subspace codebooks (Jégou et al. 2011, product
+    quantization) with the same integer-exact Lloyd machinery as
+    ``_kmeans_fit``, all m subspaces in ONE pass per iteration: each
+    block emits m×k×(subdim+1) partial-sum rows (never vectors), merged
+    on the driver. Init = the k smallest vec_ids' sub-vectors; training
+    set = the whole table (queries included — the standard train-on-
+    corpus-sample regime; at scale the sample is a bounded hash-filtered
+    subset). Returns int64 codebooks of shape (m, k, dim//m)."""
+    sub = dim // m
+    init = qds.filter(expr=f"vec_id < {k}").to_pandas() \
+        .sort_values("vec_id")
+    C0 = np.stack(init["qe"].to_numpy()).astype(np.int64)
+    books = np.stack([C0[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+    for _ in range(iterations):
+        b_ref = ray.put(books)
+
+        def partials(batch: pd.DataFrame) -> pd.DataFrame:
+            B = ray.get(b_ref)
+            M_ = np.stack(batch["qe"].to_numpy()).astype(np.int64)
+            frames = []
+            for s in range(m):
+                Ms = M_[:, s * sub:(s + 1) * sub]
+                a = _assign(Ms, B[s])
+                sums = np.zeros((k, sub), dtype=np.int64)
+                np.add.at(sums, a, Ms)
+                cnts = np.bincount(a, minlength=k).astype(np.int64)
+                cid = np.repeat(np.arange(k, dtype=np.int64), sub + 1)
+                j = np.tile(np.concatenate(
+                    [np.arange(sub, dtype=np.int64), [-1]]), k)
+                v = np.concatenate(
+                    [np.concatenate([sums[c], [cnts[c]]])
+                     for c in range(k)])
+                frames.append(pd.DataFrame({
+                    "s": np.full(len(v), s, dtype=np.int64),
+                    "cid": cid, "j": j, "v": v}))
+            return pd.concat(frames, ignore_index=True)
+
+        p = qds.map_batches(partials, batch_format="pandas") \
+            .to_pandas().groupby(["s", "cid", "j"],
+                                 as_index=False)["v"].sum()
+        new = books.copy()
+        for s in range(m):
+            ps = p[p["s"] == s]
+            cnts = ps[ps["j"] == -1].set_index("cid")["v"]
+            sums = ps[ps["j"] >= 0].pivot(index="cid", columns="j",
+                                          values="v").to_numpy()
+            for c in range(k):
+                n = int(cnts.get(c, 0))
+                if n > 0:
+                    new[s, c] = np.floor(
+                        sums[c].astype(np.float64) / n + 0.5
+                    ).astype(np.int64)
+        books = new
+    return books
+
+
+def knn_pq_adc(sf_dir: str, m: int = _PQ_M, k_codes: int = _PQ_K,
+               iterations: int = _PQ_ITERS, n_queries: int = _PQ_NQ,
+               top_k: int = _PQ_TOPK):
+    """Approximate nearest neighbours via product quantization + ADC
+    (asymmetric distance): train per-subspace codebooks, encode every
+    database vector as m small codes, answer each query by summing
+    per-subspace lookup-table distances to the codewords. Integer
+    quantization makes every distance exact in both engines, so the SQL
+    oracle replays codebook training, encoding, AND scoring bit-exactly.
+
+    Scale shape: the compressed representation (m bytes/vector here; the
+    point of PQ at 10^10 vectors) never leaves the workers — each block
+    encodes locally and emits only its per-query partial top-k (queries ×
+    k rows); codebooks and query LUTs are a tiny ``ray.put`` broadcast.
+    Output: (query_id, rank, neighbor_id, adist) with adist the exact
+    integer ADC distance; ties break to the smaller neighbor id."""
+    qds = _quantized_ds(sf_dir)
+    dim = len(qds.take(1)[0]["qe"])
+    sub = dim // m
+    books = _pq_fit(qds, m, k_codes, iterations, dim)
+
+    qdf = qds.filter(expr=f"vec_id < {n_queries}").to_pandas() \
+        .sort_values("vec_id")
+    Q = np.stack(qdf["qe"].to_numpy()).astype(np.int64)
+    q_ids = qdf["vec_id"].to_numpy()
+    # per-query LUT: d2(query sub-vector, codeword) — ints, exact
+    lut = np.zeros((m, len(q_ids), k_codes), dtype=np.int64)
+    for s in range(m):
+        Qs = Q[:, s * sub:(s + 1) * sub].astype(np.float64)
+        Bs = books[s].astype(np.float64)
+        lut[s] = ((Qs * Qs).sum(1, keepdims=True)
+                  - 2.0 * (Qs @ Bs.T)
+                  + (Bs * Bs).sum(1)[None, :]).astype(np.int64)
+    bq_ref = ray.put((books, q_ids, lut))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        B, qi, L = ray.get(bq_ref)
+        batch = batch[batch["vec_id"] >= n_queries]
+        if not len(batch):
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "adist": pd.Series(dtype="int64")})
+        M_ = np.stack(batch["qe"].to_numpy()).astype(np.int64)
+        ids = batch["vec_id"].to_numpy()
+        adist = np.zeros((len(qi), len(ids)), dtype=np.int64)
+        for s in range(m):
+            codes = _assign(M_[:, s * sub:(s + 1) * sub], B[s])
+            adist += L[s][:, codes]
+        rows = []
+        for r in range(len(qi)):
+            order = np.lexsort((ids, adist[r]))[:top_k]
+            for c in order:
+                rows.append((int(qi[r]), int(ids[c]), int(adist[r, c])))
+        return pd.DataFrame(rows,
+                            columns=["query_id", "neighbor_id", "adist"])
+
+    parts = qds.map_batches(partial_topk, batch_format="pandas") \
+        .to_pandas()
+    out = []
+    for q, g in parts.groupby("query_id"):
+        g = g.sort_values(["adist", "neighbor_id"]).head(top_k)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            out.append((q, rank, int(r["neighbor_id"]),
+                        int(r["adist"])))
+    return pd.DataFrame(
+        out, columns=["query_id", "rank", "neighbor_id", "adist"])
+
+
+def _pq_subspace_chain(s: int, lo: int, hi: int, k: int,
+                       iterations: int) -> str:
+    """CTE chain training subspace ``s``'s codebook over ``q(vec_id,
+    qe)`` (1-indexed DuckDB slice qe[lo:hi]); mirrors ``_pq_fit``."""
+    sl = f"qe[{lo}:{hi}]"
+    out = [f"""
+        , s{s}c0 AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                   {sl} AS ce
+            FROM q ORDER BY vec_id LIMIT {k})
+    """]
+    for i in range(1, iterations + 1):
+        out.append(f"""
+        , s{s}a{i} AS MATERIALIZED (
+            SELECT vec_id, sv, cid FROM (
+                SELECT q.vec_id, {sl} AS sv, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_inner_product({sl}, {sl})
+                           - 2 * list_inner_product({sl}, c.ce)
+                           + list_inner_product(c.ce, c.ce),
+                           c.cid) AS rn
+                FROM q CROSS JOIN s{s}c{i - 1} c) WHERE rn = 1),
+        s{s}c{i} AS MATERIALIZED (
+            SELECT p.cid, COALESCE(m.ce, p.ce) AS ce
+            FROM s{s}c{i - 1} p LEFT JOIN (
+                SELECT cid, list(cv ORDER BY j) AS ce FROM (
+                    SELECT cid, j, FLOOR(SUM(v) / COUNT(*) + 0.5) AS cv
+                    FROM (SELECT cid, UNNEST(sv) AS v,
+                                 generate_subscripts(sv, 1) AS j
+                          FROM s{s}a{i})
+                    GROUP BY cid, j) GROUP BY cid) m
+            ON p.cid = m.cid)
+        """)
+    return "".join(out)
+
+
+def _pq_oracle_sql(m: int = _PQ_M, k_codes: int = _PQ_K,
+                   iterations: int = _PQ_ITERS, n_q: int = _PQ_NQ,
+                   top_k: int = _PQ_TOPK, dim: int = 64) -> str:
+    sub = dim // m
+    chains, encodes, dists = [], [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chains.append(_pq_subspace_chain(s, lo, hi, k_codes, iterations))
+        encodes.append(f"""
+        , s{s}code AS MATERIALIZED (
+            SELECT vec_id, cid, ce FROM (
+                SELECT q.vec_id, c.cid, c.ce,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_inner_product(qe[{lo}:{hi}], qe[{lo}:{hi}])
+                           - 2 * list_inner_product(qe[{lo}:{hi}], c.ce)
+                           + list_inner_product(c.ce, c.ce),
+                           c.cid) AS rn
+                FROM q CROSS JOIN s{s}c{iterations} c
+                WHERE q.vec_id >= {n_q}) WHERE rn = 1)
+        """)
+        dists.append(f"""
+            list_inner_product(qq.qe[{lo}:{hi}], qq.qe[{lo}:{hi}])
+            - 2 * list_inner_product(qq.qe[{lo}:{hi}], s{s}code.ce)
+            + list_inner_product(s{s}code.ce, s{s}code.ce)
+        """)
+    joins = "".join(
+        f" JOIN s{s}code ON s{s}code.vec_id = db.vec_id"
+        for s in range(m))
+    return f"""
+        WITH aug AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+        q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(e,
+                       x -> FLOOR(x * 1000000 + 0.5)) AS qe
+            FROM aug)
+        {"".join(chains)}
+        {"".join(encodes)}
+        , scored AS (
+            SELECT qq.vec_id AS query_id, db.vec_id AS neighbor_id,
+                   CAST({" + ".join(dists)} AS BIGINT) AS adist
+            FROM (SELECT vec_id, qe FROM q WHERE vec_id < {n_q}) qq
+            CROSS JOIN (SELECT DISTINCT vec_id FROM q
+                        WHERE vec_id >= {n_q}) db
+            {joins}),
+        ranked AS (
+            SELECT query_id, neighbor_id, adist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adist, neighbor_id) AS rank
+            FROM scored)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adist
+        FROM ranked WHERE rank <= {top_k}
+    """
+
+
 MLPREP_ORACLE_SQL = {
     "corpus_heavy_hitters_cms": _cms_oracle_sql(),
     "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_semdedup": _semdedup_oracle_sql(),
+    "knn_pq_adc": _pq_oracle_sql(),
 }

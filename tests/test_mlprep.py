@@ -88,6 +88,51 @@ def test_semdedup_chunked_verify_parity(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(base, chunked)
 
 
+def test_pq_matches_local_recompute(ray_session):
+    got = M.knn_pq_adc(SF).sort_values(["query_id", "rank"]) \
+        .reset_index(drop=True)
+    # local replay: same init, same integer Lloyd, same ADC scoring
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    Q = M._quantize(np.stack(t["embedding"].to_numpy()))
+    ids = t["vec_id"].to_numpy()
+    m, k, sub = M._PQ_M, M._PQ_K, Q.shape[1] // M._PQ_M
+    books = np.stack([Q[ids < k][:, s * sub:(s + 1) * sub]
+                      for s in range(m)])
+    for _ in range(M._PQ_ITERS):
+        new = books.copy()
+        for s in range(m):
+            Qs = Q[:, s * sub:(s + 1) * sub]
+            a = M._assign(Qs, books[s])
+            for c in range(k):
+                sel = a == c
+                if sel.any():
+                    new[s, c] = np.floor(
+                        Qs[sel].sum(axis=0).astype(np.float64)
+                        / sel.sum() + 0.5).astype(np.int64)
+        books = new
+    dbm = ids >= M._PQ_NQ
+    rows = []
+    for qid in range(M._PQ_NQ):
+        qv = Q[ids == qid][0]
+        ad = np.zeros(dbm.sum(), dtype=np.int64)
+        for s in range(m):
+            Qs = Q[dbm][:, s * sub:(s + 1) * sub]
+            codes = M._assign(Qs, books[s])
+            qs = qv[s * sub:(s + 1) * sub].astype(np.float64)
+            B = books[s].astype(np.float64)
+            lut = ((qs * qs).sum() - 2.0 * (B @ qs)
+                   + (B * B).sum(axis=1)).astype(np.int64)
+            ad += lut[codes]
+        order = np.lexsort((ids[dbm], ad))[:M._PQ_TOPK]
+        for rank, c in enumerate(order, 1):
+            rows.append((qid, rank, int(ids[dbm][c]), int(ad[c])))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "rank", "neighbor_id", "adist"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+
+
 def test_cms_cells_in_range():
     cells = M._cms_cells(np.array([0, 1, 2**32 - 1], dtype=np.uint64))
     assert cells.shape == (M._CMS_D, 3)
