@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_statistics": F.crawl_statistics,
         "image_decode_stats": F.image_decode_stats,
         "image_thumbnails": F.image_thumbnails,
+        "image_augment": F.image_augment,
         "image_phash_neardup": F.image_phash_neardup,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,

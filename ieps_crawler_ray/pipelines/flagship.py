@@ -173,6 +173,8 @@ def ensure_oracle_export(sf_dir: str) -> str:
     # WITHOUT Ray (pure decode + DSP over the same deterministic corpora)
     write_table(_audio_expected(nc),
                 os.path.join(out, "audio_expected.parquet"))
+    write_table(_augment_expected(nc),
+                os.path.join(out, "augment_expected.parquet"))
     write_table(_video_expected(max(nc // 4, 4)),
                 os.path.join(out, "video_expected.parquet"))
     tmp = marker + f".tmp{os.getpid()}"
@@ -259,6 +261,10 @@ def crawl_oracle_sql(tier: str) -> dict:
         SELECT audio_id, n_samples, sample_rate, rms0_micros, rms1_micros,
                rms2_micros, rms3_micros
         FROM read_parquet('{_X}/audio_expected.parquet')
+    """,
+    "image_augment": f"""
+        SELECT image_id, phash_flip, phash_crop, luma_milli
+        FROM read_parquet('{_X}/augment_expected.parquet')
     """,
     "video_frames": f"""
         SELECT video_id, frame_idx, w, h, frame_hash
@@ -642,6 +648,46 @@ def _audio_corpus(n: int) -> pa.Table:
                                    sr))
     return pa.table({"audio_id": pa.array(ids, pa.string()),
                      "bytes": pa.array(blobs, pa.large_binary())})
+
+
+def _augment_expected(n: int) -> pa.Table:
+    """Expected image_augment output computed WITHOUT Ray (pure decode +
+    integer flip/crop/luma kernel) — the corpus-contract oracle for the
+    augmentation actor-pool stage."""
+    from ..functions import image_codec as ic
+    from ..stages.multimodal import augment_features
+
+    corpus = build_corpus_rows(n)
+    ids, pf, pc_, lm = [], [], [], []
+    for i in range(corpus.num_rows):
+        img, _fmt = ic.decode_image(corpus.column("bytes")[i].as_py())
+        a, b, c = augment_features(img)
+        ids.append(corpus.column("image_id")[i].as_py())
+        pf.append(a)
+        pc_.append(b)
+        lm.append(c)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "phash_flip": pa.array(pf, pa.int64()),
+        "phash_crop": pa.array(pc_, pa.int64()),
+        "luma_milli": pa.array(lm, pa.int64())})
+
+
+def image_augment(sf_dir: str):
+    """Deterministic training-augmentation stage over the image corpus
+    (decode -> hflip + center crop -> integer phash/luma features) as an
+    actor-pool ``map_batches`` — the Ray-side plumbing of a data-
+    augmentation pipeline, checked bit-exactly against a no-Ray replay
+    of the same kernel (corpus-contract oracle, like audio/video)."""
+    from ..stages.multimodal import ImageAugmentStage
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+        ImageAugmentStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2)
+    out = ds.to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
 
 
 def _audio_expected(n: int) -> pa.Table:

@@ -74,6 +74,54 @@ class ImageResizeStage:
         })
 
 
+def augment_features(img: np.ndarray) -> tuple:
+    """Deterministic training-augmentation features for one decoded image
+    (pure integer arithmetic — bit-identical on any host): horizontal
+    flip, center crop to 3/4 size, and the crop's integer mean luma.
+    Returns (phash_flip, phash_crop, luma_milli)."""
+    from ..functions import image_codec as ic
+    flip = img[:, ::-1]
+    h, w = flip.shape[:2]
+    ch, cw = max(h * 3 // 4, 1), max(w * 3 // 4, 1)
+    y0, x0 = (h - ch) // 2, (w - cw) // 2
+    crop = flip[y0:y0 + ch, x0:x0 + cw]
+    lum = (299 * crop[..., 0].astype(np.int64)
+           + 587 * crop[..., 1].astype(np.int64)
+           + 114 * crop[..., 2].astype(np.int64)) // 1000
+    luma_milli = int(lum.sum() * 1000 // lum.size)
+    return ic.phash64(flip), ic.phash64(np.ascontiguousarray(crop)), \
+        luma_milli
+
+
+class ImageAugmentStage:
+    """Decode -> flip/crop augmentation -> integer feature row (the
+    deterministic skeleton of a training-data augmentation stage; a
+    production variant would emit the augmented bytes and random
+    parameters — here the ops are pinned so a no-Ray replay of the same
+    kernel is a bit-exact oracle)."""
+
+    def __init__(self):
+        from ..functions import image_codec as ic
+        self.ic = ic
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, pf, pc, lm = [], [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch.column("image_id")[i].as_py())
+            img, _fmt = self.ic.decode_image(
+                batch.column("bytes")[i].as_py())
+            a, b, c = augment_features(img)
+            pf.append(a)
+            pc.append(b)
+            lm.append(c)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "phash_flip": pa.array(pf, pa.int64()),
+            "phash_crop": pa.array(pc, pa.int64()),
+            "luma_milli": pa.array(lm, pa.int64()),
+        })
+
+
 AUDIO_FEATURE_SCHEMA = pa.schema([
     ("audio_id", pa.string()),
     ("n_samples", pa.int64()),

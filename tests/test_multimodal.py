@@ -144,3 +144,39 @@ def test_video_stage_y4m_codec_real_decode(ray_session):
     row = out.sort_values(["video_id", "frame_idx"]).iloc[0]
     img, fmt = ic.decode_image(row["frame"])
     assert fmt == "bmp" and img.shape == clips[0][0].shape
+
+
+def test_image_augment_stage_matches_pure_kernel(ray_session):
+    """The actor-pool augment stage must be bit-identical to a no-Ray
+    replay of the same flip/crop/luma kernel (the corpus-contract oracle
+    pattern used for audio/video)."""
+    from ieps_crawler_ray.functions import image_codec as ic
+    from ieps_crawler_ray.stages.multimodal import (ImageAugmentStage,
+                                                    augment_features)
+
+    corpus = build_corpus_rows(10)
+    out = rd.from_arrow(corpus).map_batches(
+        ImageAugmentStage, batch_format="pyarrow", batch_size=4,
+        concurrency=2).to_pandas().set_index("image_id").sort_index()
+    assert len(out) == 10
+    for i in range(corpus.num_rows):
+        img, _ = ic.decode_image(corpus.column("bytes")[i].as_py())
+        pf, pc, lm = augment_features(img)
+        row = out.loc[corpus.column("image_id")[i].as_py()]
+        assert (row["phash_flip"], row["phash_crop"],
+                row["luma_milli"]) == (pf, pc, lm)
+
+
+def test_augment_features_flip_involution():
+    """Flipping twice restores the original phash; crop luma is within
+    the 8-bit range scaled by 1000."""
+    from ieps_crawler_ray.functions import image_codec as ic
+    from ieps_crawler_ray.stages.multimodal import augment_features
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    pf, pc, lm = augment_features(img)
+    pf2, _, _ = augment_features(img[:, ::-1])
+    assert pf2 == ic.phash64(img[:, ::-1][:, ::-1])  # flip of flip == id
+    assert 0 <= lm <= 255_000
+    assert isinstance(pf, int) and isinstance(pc, int)
