@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": F.image_decode_stats,
         "image_thumbnails": F.image_thumbnails,
         "image_augment": F.image_augment,
+        "image_quality_scores": F.image_quality_scores,
+        "image_tiles": F.image_tiles,
+        "image_curation": F.image_curation,
         "image_phash_neardup": F.image_phash_neardup,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,

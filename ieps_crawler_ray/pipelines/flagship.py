@@ -175,6 +175,10 @@ def ensure_oracle_export(sf_dir: str) -> str:
                 os.path.join(out, "audio_expected.parquet"))
     write_table(_augment_expected(nc),
                 os.path.join(out, "augment_expected.parquet"))
+    write_table(_curation_expected(nc),
+                os.path.join(out, "curation_expected.parquet"))
+    write_table(_tiles_expected(nc),
+                os.path.join(out, "tiles_expected.parquet"))
     write_table(_video_expected(max(nc // 4, 4)),
                 os.path.join(out, "video_expected.parquet"))
     tmp = marker + f".tmp{os.getpid()}"
@@ -265,6 +269,25 @@ def crawl_oracle_sql(tier: str) -> dict:
     "image_augment": f"""
         SELECT image_id, phash_flip, phash_crop, luma_milli
         FROM read_parquet('{_X}/augment_expected.parquet')
+    """,
+    "image_quality_scores": f"""
+        SELECT image_id, luma_milli, contrast_mvar, blur_mvar
+        FROM read_parquet('{_X}/curation_expected.parquet')
+        WHERE image_id LIKE 'img%'
+    """,
+    "image_tiles": f"""
+        SELECT image_id, ty, tx, r_milli, g_milli, b_milli
+        FROM read_parquet('{_X}/tiles_expected.parquet')
+    """,
+    "image_curation": f"""
+        SELECT image_id, w, h, phash, luma_milli, contrast_mvar,
+               blur_mvar
+        FROM read_parquet('{_X}/curation_expected.parquet')
+        WHERE LEAST(w, h) >= 48
+          AND contrast_mvar >= 1200000
+          AND blur_mvar >= 19000
+        QUALIFY row_number()
+                OVER (PARTITION BY phash ORDER BY image_id) = 1
     """,
     "video_frames": f"""
         SELECT video_id, frame_idx, w, h, frame_hash
@@ -688,6 +711,155 @@ def image_augment(sf_dir: str):
         concurrency=2)
     out = ds.to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _curation_corpus_rows(n: int) -> pa.Table:
+    """Image-curation input: the corpus EXTENDED with deterministic
+    exact-duplicate copies (every 3rd image re-appears under a dup id,
+    modelling the 68-83 % duplicate-image rate a real crawl yields —
+    report/report.tex:181-184) so the keep-first-per-phash collapse in
+    ``image_curation`` has real work to do."""
+    corpus = build_corpus_rows(n)
+    dup_idx = [i for i in range(corpus.num_rows) if i % 3 == 0]
+    dups = corpus.take(dup_idx)
+    dup_ids = pa.array(
+        [f"dup{iid[3:]}" for iid in dups.column("image_id").to_pylist()],
+        pa.string())
+    dups = dups.set_column(0, corpus.schema.field("image_id"), dup_ids)
+    return pa.concat_tables([corpus, dups])
+
+
+def _curation_expected(n: int) -> pa.Table:
+    """Per-image metadata + quality features of the EXTENDED curation
+    corpus, computed WITHOUT Ray. The image_curation oracle recomputes
+    the filter + keep-first-per-phash collapse in SQL over this table,
+    so the policy logic is verified independently of the engine."""
+    from ..functions import image_codec as ic
+    from ..stages.multimodal import quality_features
+
+    inp = _curation_corpus_rows(n)
+    ids, ws, hs, ph, lu, co, bl = [], [], [], [], [], [], []
+    for i in range(inp.num_rows):
+        img, _fmt = ic.decode_image(inp.column("bytes")[i].as_py())
+        a, b, c = quality_features(img)
+        ids.append(inp.column("image_id")[i].as_py())
+        hs.append(img.shape[0])
+        ws.append(img.shape[1])
+        ph.append(ic.phash64(img))
+        lu.append(a)
+        co.append(b)
+        bl.append(c)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "w": pa.array(ws, pa.int64()),
+        "h": pa.array(hs, pa.int64()),
+        "phash": pa.array(ph, pa.int64()),
+        "luma_milli": pa.array(lu, pa.int64()),
+        "contrast_mvar": pa.array(co, pa.int64()),
+        "blur_mvar": pa.array(bl, pa.int64())})
+
+
+def _tiles_expected(n: int) -> pa.Table:
+    """Expected image_tiles output computed WITHOUT Ray (pure decode +
+    integer patch-grid kernel) — the corpus-contract oracle for the
+    tile fan-out stage."""
+    from ..functions import image_codec as ic
+    from ..stages.multimodal import tile_grid_features
+
+    corpus = build_corpus_rows(n)
+    ids, tys, txs, rs, gs, bs = [], [], [], [], [], []
+    for i in range(corpus.num_rows):
+        iid = corpus.column("image_id")[i].as_py()
+        img, _fmt = ic.decode_image(corpus.column("bytes")[i].as_py())
+        for ty, tx, r, g, b in tile_grid_features(img):
+            ids.append(iid)
+            tys.append(ty)
+            txs.append(tx)
+            rs.append(r)
+            gs.append(g)
+            bs.append(b)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "ty": pa.array(tys, pa.int64()),
+        "tx": pa.array(txs, pa.int64()),
+        "r_milli": pa.array(rs, pa.int64()),
+        "g_milli": pa.array(gs, pa.int64()),
+        "b_milli": pa.array(bs, pa.int64())})
+
+
+def image_quality_scores(sf_dir: str):
+    """Per-image quality scoring (mean luma, RMS-contrast variance,
+    Laplacian sharpness — all integer-exact) as an actor-pool
+    ``map_batches`` stage; the filter policy stays in ``image_curation``
+    so one scoring pass serves many thresholds. Corpus-contract oracle:
+    a no-Ray replay of the same kernel."""
+    from ..stages.multimodal import ImageQualityStage
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+        ImageQualityStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2).drop_columns(["w", "h", "phash"])
+    return ds.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
+def image_tiles(sf_dir: str):
+    """ViT-style patch extraction: decode -> non-overlapping 16x16 tile
+    grid -> per-tile integer mean RGB, one input image row fanning out
+    to many tile rows (the flat-map shape over wide binary data).
+    Corpus-contract oracle: no-Ray replay of the same kernel."""
+    from ..stages.multimodal import ImageTileStage
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+        ImageTileStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2)
+    return ds.to_pandas().sort_values(["image_id", "ty", "tx"]) \
+        .reset_index(drop=True)
+
+
+def image_curation(sf_dir: str, min_side: int = 48,
+                   min_contrast: int = 1_200_000,
+                   min_sharpness: int = 19_000):
+    """Training-data image curation composite over the crawl-shaped
+    duplicated corpus: decode+score (actor pool) -> resolution/quality
+    threshold filter (vectorized Arrow predicate) -> exact-duplicate
+    collapse keeping the first image_id per phash (partition-wise
+    groupby — the D3-style dedup re-expressed for curation). The SQL
+    oracle recomputes filter + window-dedup over the no-Ray feature
+    export, verifying the policy independently."""
+    import pyarrow.compute as pc
+
+    from ..stages.multimodal import ImageQualityStage
+    from .analytics import _part_apply
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    scored = rd.from_arrow(_curation_corpus_rows(nc)).map_batches(
+        ImageQualityStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(
+                    pc.min_element_wise(batch.column("w"),
+                                        batch.column("h")), min_side),
+                pc.greater_equal(batch.column("contrast_mvar"),
+                                 min_contrast)),
+            pc.greater_equal(batch.column("blur_mvar"), min_sharpness))
+        return batch.filter(m)
+
+    def first_per_phash(g):
+        return g.sort_values("image_id").groupby(
+            "phash", as_index=False, sort=False).first()
+
+    kept = _part_apply(scored.map_batches(keep, batch_format="pyarrow"),
+                       ["phash"], first_per_phash)
+    out = kept.to_pandas().sort_values("image_id").reset_index(drop=True)
+    return out[["image_id", "w", "h", "phash", "luma_milli",
+                "contrast_mvar", "blur_mvar"]]
 
 
 def _audio_expected(n: int) -> pa.Table:

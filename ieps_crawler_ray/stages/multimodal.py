@@ -122,6 +122,122 @@ class ImageAugmentStage:
         })
 
 
+def quality_features(img: np.ndarray) -> tuple:
+    """Integer-exact per-image quality features (bit-identical on any
+    host — every op is int64 arithmetic): mean luma, RMS-contrast
+    variance and Laplacian-variance sharpness, each scaled x1000 with
+    floor division (var*1000 = (n*ss - s^2)*1000 // n^2, exact).
+    Returns (luma_milli, contrast_mvar, blur_mvar)."""
+    g = (299 * img[..., 0].astype(np.int64)
+         + 587 * img[..., 1].astype(np.int64)
+         + 114 * img[..., 2].astype(np.int64)) // 1000
+    n = int(g.size)
+    s = int(g.sum())
+    ss = int((g * g).sum())
+    luma_milli = s * 1000 // n
+    contrast_mvar = (n * ss - s * s) * 1000 // (n * n)
+    if g.shape[0] >= 3 and g.shape[1] >= 3:
+        lap = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+               - g[1:-1, :-2] - g[1:-1, 2:])
+        ni = int(lap.size)
+        ls = int(lap.sum())
+        lss = int((lap * lap).sum())
+        blur_mvar = (ni * lss - ls * ls) * 1000 // (ni * ni)
+    else:
+        blur_mvar = 0
+    return luma_milli, contrast_mvar, blur_mvar
+
+
+class ImageQualityStage:
+    """Decode -> integer quality features + phash + dims, the scoring
+    half of a training-data image-curation pipeline (filter thresholds
+    live in the query so the same scores serve many policies). Emits one
+    row per image: (image_id, w, h, phash, luma_milli, contrast_mvar,
+    blur_mvar)."""
+
+    def __init__(self):
+        from ..functions import image_codec as ic
+        self.ic = ic
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, ph, lu, co, bl = [], [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch.column("image_id")[i].as_py())
+            img, _fmt = self.ic.decode_image(
+                batch.column("bytes")[i].as_py())
+            a, b, c = quality_features(img)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            ph.append(self.ic.phash64(img))
+            lu.append(a)
+            co.append(b)
+            bl.append(c)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "phash": pa.array(ph, pa.int64()),
+            "luma_milli": pa.array(lu, pa.int64()),
+            "contrast_mvar": pa.array(co, pa.int64()),
+            "blur_mvar": pa.array(bl, pa.int64()),
+        })
+
+
+def tile_grid_features(img: np.ndarray, tile: int = 16) -> list:
+    """Non-overlapping ``tile`` x ``tile`` patch grid (ViT-style prep,
+    remainder dropped) -> per-tile integer mean RGB x1000. Vectorized:
+    one reshape + two sums per image. Returns
+    [(ty, tx, r_milli, g_milli, b_milli), ...] in row-major order."""
+    h, w = img.shape[:2]
+    nty, ntx = h // tile, w // tile
+    if nty == 0 or ntx == 0:
+        return []
+    grid = img[:nty * tile, :ntx * tile].astype(np.int64) \
+        .reshape(nty, tile, ntx, tile, 3)
+    sums = grid.sum(axis=(1, 3))  # (nty, ntx, 3)
+    means = sums * 1000 // (tile * tile)
+    out = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            m = means[ty, tx]
+            out.append((ty, tx, int(m[0]), int(m[1]), int(m[2])))
+    return out
+
+
+class ImageTileStage:
+    """Decode -> patch-grid fan-out (one input image row -> many tile
+    rows), the flat-map shape of a ViT patch-extraction stage. Tile
+    features are integer means so a no-Ray replay is a bit-exact
+    oracle."""
+
+    def __init__(self, tile: int = 16):
+        from ..functions import image_codec as ic
+        self.ic = ic
+        self.tile = tile
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, tys, txs, rs, gs, bs = [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            iid = batch.column("image_id")[i].as_py()
+            img, _fmt = self.ic.decode_image(
+                batch.column("bytes")[i].as_py())
+            for ty, tx, r, g, b in tile_grid_features(img, self.tile):
+                ids.append(iid)
+                tys.append(ty)
+                txs.append(tx)
+                rs.append(r)
+                gs.append(g)
+                bs.append(b)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ty": pa.array(tys, pa.int64()),
+            "tx": pa.array(txs, pa.int64()),
+            "r_milli": pa.array(rs, pa.int64()),
+            "g_milli": pa.array(gs, pa.int64()),
+            "b_milli": pa.array(bs, pa.int64()),
+        })
+
+
 AUDIO_FEATURE_SCHEMA = pa.schema([
     ("audio_id", pa.string()),
     ("n_samples", pa.int64()),

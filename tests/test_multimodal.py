@@ -180,3 +180,82 @@ def test_augment_features_flip_involution():
     assert pf2 == ic.phash64(img[:, ::-1][:, ::-1])  # flip of flip == id
     assert 0 <= lm <= 255_000
     assert isinstance(pf, int) and isinstance(pc, int)
+
+
+def test_image_quality_stage_matches_pure_kernel(ray_session):
+    from ieps_crawler_ray.functions import image_codec as ic
+    from ieps_crawler_ray.stages.multimodal import (ImageQualityStage,
+                                                    quality_features)
+
+    corpus = build_corpus_rows(8)
+    out = rd.from_arrow(corpus).map_batches(
+        ImageQualityStage, batch_format="pyarrow", batch_size=4,
+        concurrency=2).to_pandas().set_index("image_id")
+    for i in range(corpus.num_rows):
+        img, _ = ic.decode_image(corpus.column("bytes")[i].as_py())
+        lu, co, bl = quality_features(img)
+        row = out.loc[corpus.column("image_id")[i].as_py()]
+        assert (row["luma_milli"], row["contrast_mvar"],
+                row["blur_mvar"]) == (lu, co, bl)
+        assert (row["w"], row["h"]) == (img.shape[1], img.shape[0])
+        assert row["phash"] == ic.phash64(img)
+
+
+def test_image_tile_stage_fanout_counts_and_values(ray_session):
+    from ieps_crawler_ray.functions import image_codec as ic
+    from ieps_crawler_ray.stages.multimodal import (ImageTileStage,
+                                                    tile_grid_features)
+
+    corpus = build_corpus_rows(6)
+    out = rd.from_arrow(corpus).map_batches(
+        ImageTileStage, batch_format="pyarrow", batch_size=2,
+        concurrency=2).to_pandas()
+    want = 0
+    for i in range(corpus.num_rows):
+        img, _ = ic.decode_image(corpus.column("bytes")[i].as_py())
+        tiles = tile_grid_features(img)
+        want += len(tiles)
+        iid = corpus.column("image_id")[i].as_py()
+        got = out[out["image_id"] == iid].sort_values(["ty", "tx"])
+        assert [tuple(r) for r in
+                got[["ty", "tx", "r_milli", "g_milli",
+                     "b_milli"]].to_numpy()] == tiles
+    assert len(out) == want
+
+
+def test_tile_kernel_integer_means():
+    from ieps_crawler_ray.stages.multimodal import tile_grid_features
+
+    img = np.full((20, 35, 3), 7, dtype=np.uint8)
+    tiles = tile_grid_features(img, tile=16)
+    # 20//16 x 35//16 = 1x2 tiles, remainder dropped
+    assert [(t[0], t[1]) for t in tiles] == [(0, 0), (0, 1)]
+    assert all(t[2:] == (7000, 7000, 7000) for t in tiles)
+    assert tile_grid_features(img[:8, :8]) == []
+
+
+def test_image_curation_collapses_planted_dups(ray_session):
+    from ieps_crawler_ray.pipelines.flagship import (_curation_corpus_rows,
+                                                     image_curation)
+
+    out = image_curation("/root/testdata/sf0.001")
+    # thresholds hold on every kept row
+    assert (np.minimum(out["w"], out["h"]) >= 48).all()
+    assert (out["contrast_mvar"] >= 1_200_000).all()
+    assert (out["blur_mvar"] >= 19_000).all()
+    # exact-dup collapse: one row per phash, keep-first by image_id
+    assert not out["phash"].duplicated().any()
+    inp = _curation_corpus_rows(60)
+    # every planted duplicated phash that survives the filter must be
+    # represented by its dup id (dupNNN sorts before imgNNN)
+    kept_ids = set(out["image_id"])
+    dup_ids = {i for i in inp.column("image_id").to_pylist()
+               if i.startswith("dup")}
+    surviving_dup_phashes = set(
+        out.loc[out["image_id"].str.startswith("dup"), "phash"])
+    for iid in kept_ids:
+        if iid.startswith("img"):
+            twin = "dup" + iid[3:]
+            assert twin not in dup_ids or \
+                out.loc[out["image_id"] == iid, "phash"].iloc[0] \
+                not in surviving_dup_phashes
