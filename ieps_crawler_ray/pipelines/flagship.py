@@ -167,8 +167,9 @@ def ensure_oracle_export(sf_dir: str) -> str:
     # exactly these dims/fmt and roundtrip) — gives image_decode_stats /
     # image_thumbnails real DuckDB oracles
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    write_table(build_corpus_rows(nc).select(["image_id", "w", "h", "fmt"]),
-                os.path.join(out, "corpus.parquet"))
+    write_table(build_corpus_rows(nc).select(
+        ["image_id", "w", "h", "fmt", "phash"]),
+        os.path.join(out, "corpus.parquet"))
     # audio/video corpus-contract oracles: expected stage outputs computed
     # WITHOUT Ray (pure decode + DSP over the same deterministic corpora)
     write_table(_audio_expected(nc),
@@ -179,6 +180,8 @@ def ensure_oracle_export(sf_dir: str) -> str:
                 os.path.join(out, "curation_expected.parquet"))
     write_table(_tiles_expected(nc),
                 os.path.join(out, "tiles_expected.parquet"))
+    write_table(_dedupref_expected(nc),
+                os.path.join(out, "dedupref_expected.parquet"))
     write_table(_video_expected(max(nc // 4, 4)),
                 os.path.join(out, "video_expected.parquet"))
     tmp = marker + f".tmp{os.getpid()}"
@@ -288,6 +291,21 @@ def crawl_oracle_sql(tier: str) -> dict:
           AND blur_mvar >= 19000
         QUALIFY row_number()
                 OVER (PARTITION BY phash ORDER BY image_id) = 1
+    """,
+    "image_dedup_vs_reference": f"""
+        WITH best AS (
+            SELECT n.image_id, r.image_id AS ref_id,
+                   bit_count(xor(n.phash, r.phash)) AS hamming
+            FROM read_parquet('{_X}/dedupref_expected.parquet') n
+            JOIN read_parquet('{_X}/corpus.parquet') r
+              ON bit_count(xor(n.phash, r.phash)) <= 3
+            QUALIFY row_number() OVER (PARTITION BY n.image_id
+                                       ORDER BY hamming, ref_id) = 1
+        )
+        SELECT n.image_id, b.ref_id, b.hamming,
+               CASE WHEN b.ref_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM read_parquet('{_X}/dedupref_expected.parquet') n
+        LEFT JOIN best b USING (image_id)
     """,
     "video_frames": f"""
         SELECT video_id, frame_idx, w, h, frame_hash
@@ -860,6 +878,134 @@ def image_curation(sf_dir: str, min_side: int = 48,
     out = kept.to_pandas().sort_values("image_id").reset_index(drop=True)
     return out[["image_id", "w", "h", "phash", "luma_milli",
                 "contrast_mvar", "blur_mvar"]]
+
+
+def _dedupref_new_rows(n: int) -> pa.Table:
+    """New-crawl image batch to dedup against the reference corpus:
+    ``n`` novel images (corpus rows [n, 2n)) plus a QJPG re-encode of
+    every 4th reference image under a ``cpy`` id — a lossy-roundtrip
+    near-duplicate whose phash drifts 0-2 bits from the original
+    (measured), the realistic "same photo, different encoder" case."""
+    from ..functions import image_codec as ic
+
+    ref = build_corpus_rows(n)
+    new = build_corpus_rows(n, start=n)
+    ids = new.column("image_id").to_pylist()
+    blobs = new.column("bytes").to_pylist()
+    for i in range(0, ref.num_rows, 4):
+        img, _fmt = ic.decode_image(ref.column("bytes")[i].as_py())
+        blobs.append(ic.encode_qjpg(img))
+        ids.append("cpy" + ref.column("image_id")[i].as_py()[3:])
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(blobs, pa.binary())})
+
+
+def _dedupref_expected(n: int) -> pa.Table:
+    """(image_id, phash) of the new batch, decoded WITHOUT Ray — the SQL
+    oracle recomputes the reference match brute-force from this plus the
+    reference phash column in corpus.parquet."""
+    from ..functions import image_codec as ic
+
+    new = _dedupref_new_rows(n)
+    ids, ph = [], []
+    for i in range(new.num_rows):
+        img, _fmt = ic.decode_image(new.column("bytes")[i].as_py())
+        ids.append(new.column("image_id")[i].as_py())
+        ph.append(ic.phash64(img))
+    return pa.table({"image_id": pa.array(ids, pa.string()),
+                     "phash": pa.array(ph, pa.int64())})
+
+
+class _RefPhashProbeStage:
+    """Actor-pool probe of a broadcast reference-phash band index:
+    decode -> phash -> banded candidate lookup -> SWAR-popcount verify.
+    The index is built ONCE per actor in ``__init__`` from the
+    ``ray.put`` reference arrays (12 bytes/ref-image broadcast — at 10M
+    reference images that is ~120 MB, the documented broadcast bound;
+    beyond it the partitioned band-explode join from
+    ``image_phash_neardup`` is the scale path). 16-bit x 4 bands is
+    LOSSLESS for hamming <= 3: pigeonhole — 3 bit errors cannot touch
+    all 4 bands, so a true match always shares >= 1 exact band key."""
+
+    def __init__(self, ref_ref, max_hamming: int):
+        import ray
+
+        from ..functions import image_codec as ic
+        from .analytics import _popcount_u64
+        self.ic = ic
+        self._pop = _popcount_u64
+        self.max_hamming = max_hamming
+        ref_ids, ref_ph = ray.get(ref_ref)
+        self.ref_ids = ref_ids
+        self.ref_ph = ref_ph  # uint64
+        self.buckets = {}
+        for b in range(4):
+            keys = (ref_ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            order = np.argsort(keys, kind="stable")
+            uk, starts = np.unique(keys[order], return_index=True)
+            for k, s, e in zip(uk, starts,
+                               list(starts[1:]) + [len(order)]):
+                self.buckets.setdefault((b, int(k)), []).append(
+                    order[s:e])
+        self.buckets = {k: np.concatenate(v)
+                        for k, v in self.buckets.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rids, hams, dups = [], [], [], []
+        for i in range(batch.num_rows):
+            ids.append(batch.column("image_id")[i].as_py())
+            img, _fmt = self.ic.decode_image(
+                batch.column("bytes")[i].as_py())
+            p = np.uint64(self.ic.phash64(img) & 0xFFFFFFFFFFFFFFFF)
+            cand = [self.buckets.get(
+                (b, int((p >> np.uint64(16 * b)) & np.uint64(0xFFFF))))
+                for b in range(4)]
+            cand = [c for c in cand if c is not None]
+            best_id, best_h = None, None
+            if cand:
+                ci = np.unique(np.concatenate(cand))
+                ham = self._pop(self.ref_ph[ci] ^ p)
+                ok = ham <= self.max_hamming
+                if ok.any():
+                    ci, ham = ci[ok], ham[ok]
+                    cand_ids = [self.ref_ids[j] for j in ci]
+                    k = min(range(len(ci)),
+                            key=lambda j: (ham[j], cand_ids[j]))
+                    best_id, best_h = cand_ids[k], int(ham[k])
+            rids.append(best_id)
+            hams.append(best_h)
+            dups.append(int(best_id is not None))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "ref_id": pa.array(rids, pa.string()),
+            "hamming": pa.array(hams, pa.int64()),
+            "is_dup": pa.array(dups, pa.int64()),
+        })
+
+
+def image_dedup_vs_reference(sf_dir: str, max_hamming: int = 3):
+    """Dedup a new image batch AGAINST AN EXISTING reference corpus (the
+    train-set-contamination / incremental-crawl shape): broadcast the
+    reference phash band index once (``ray.put``), then an actor-pool
+    decode+probe with no shuffle at all — the asymmetric small-index
+    big-stream join. Ties break on (hamming, ref_id). The SQL oracle
+    recomputes matches brute-force with bit_count(xor(...)) over the
+    no-Ray phash exports."""
+    import ray
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    ref = build_corpus_rows(nc)
+    ref_ids = ref.column("image_id").to_pylist()
+    ref_ph = np.array(ref.column("phash").to_pylist(),
+                      dtype=np.int64).view(np.uint64)
+    ref_ref = ray.put((ref_ids, ref_ph))
+    out = rd.from_arrow(_dedupref_new_rows(nc)).map_batches(
+        _RefPhashProbeStage,
+        fn_constructor_kwargs={"ref_ref": ref_ref,
+                               "max_hamming": max_hamming},
+        batch_format="pyarrow", batch_size=32, concurrency=2).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
 
 
 def _audio_expected(n: int) -> pa.Table:

@@ -259,3 +259,20 @@ def test_image_curation_collapses_planted_dups(ray_session):
             assert twin not in dup_ids or \
                 out.loc[out["image_id"] == iid, "phash"].iloc[0] \
                 not in surviving_dup_phashes
+
+
+def test_image_dedup_vs_reference_planted_copies(ray_session):
+    """Every planted cpy row must match its img twin within 2 bits; the
+    novel rows (different procedural images, min inter-phash hamming ~10)
+    must not match anything."""
+    from ieps_crawler_ray.pipelines.flagship import image_dedup_vs_reference
+
+    out = image_dedup_vs_reference("/root/testdata/sf0.001")
+    cpy = out[out["image_id"].str.startswith("cpy")]
+    assert len(cpy) == 15  # 60 ref images, every 4th copied
+    assert cpy["is_dup"].all()
+    assert (cpy["ref_id"] == "img" + cpy["image_id"].str[3:]).all()
+    assert (cpy["hamming"] <= 2).all()
+    novel = out[out["image_id"].str.startswith("img")]
+    assert not novel["is_dup"].any()
+    assert novel["ref_id"].isna().all()
