@@ -647,18 +647,18 @@ def read_pages(out_dir: str) -> rd.Dataset:
 
         return ds.map_batches(overlay, batch_format="pyarrow")
 
+    n_parts = _read_num_partitions(out_dir)
     part_files: dict = {}
     for p in dup_files:
         part_dir = os.path.basename(os.path.dirname(p))
         if part_dir.startswith("dpart="):
             part_files.setdefault(int(part_dir.split("=")[1]), []).append(p)
         else:  # legacy flat file: un-prunable, attach to every partition
-            for k in range(_read_num_partitions(out_dir)):
+            for k in range(n_parts):
                 part_files.setdefault(k, []).append(p)
     return ds.map_batches(
         _DupOverlayStage, fn_constructor_kwargs={
-            "part_files": part_files,
-            "n_parts": _read_num_partitions(out_dir)},
+            "part_files": part_files, "n_parts": n_parts},
         batch_format="pyarrow", concurrency=(1, 8))
 
 
@@ -812,12 +812,7 @@ def read_sites(out_dir: str) -> pa.Table:
     return pq.read_table(os.path.join(sdir, gens[-1], "sites.parquet"))
 
 
-def _round6(x: float) -> float:
-    """floor(x*1e6+0.5)/1e6 — the cross-engine rounding protocol (numpy
-    round is half-even, SQL ROUND half-away; FLOOR(+0.5) agrees)."""
-    import math
-
-    return math.floor(x * 1e6 + 0.5) / 1e6
+from ..functions.rounding import round6 as _round6  # noqa: E402
 
 
 def crawl_stats(out_dir: str) -> "pd.DataFrame":

@@ -53,10 +53,19 @@ def _generator_version() -> str:
     return h.hexdigest()
 
 
-def world_for_sf(sf_dir: str) -> SyntheticWeb:
-    tier = os.environ.get("GRAFT_WORLD_TIER") \
+def effective_tier(sf_dir: str) -> str:
+    """The tier a query actually runs at: GRAFT_WORLD_TIER (exported by
+    the bench --scaling subprocesses) overrides the sf_dir basename.
+    EVERY tier-derived site in this module — crawl caches, corpus sizes,
+    oracle exports — resolves through here, so the engine side and the
+    SQL-oracle export can never compare different worlds when the env
+    var leaks into a contract run."""
+    return os.environ.get("GRAFT_WORLD_TIER") \
         or os.path.basename(os.path.normpath(sf_dir))
-    return world_for_tier(tier)
+
+
+def world_for_sf(sf_dir: str) -> SyntheticWeb:
+    return world_for_tier(effective_tier(sf_dir))
 
 
 def world_for_tier(tier: str) -> SyntheticWeb:
@@ -114,7 +123,7 @@ def ensure_oracle_export(sf_dir: str) -> str:
 
     from .oracle import OracleCrawler
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     out = f"{_ORACLE_EXPORT_BASE}_{tier}"
     marker = os.path.join(out, "_complete.json")
     version = _package_version()
@@ -372,7 +381,6 @@ def crawl_oracle_sql(tier: str) -> dict:
 
 # the driver's correctness tier instance (back-compat name; tests and
 # check_contract default to sf0.01)
-CRAWL_ORACLE_SQL = None  # populated lazily below (after _pagerank_oracle_sql)
 
 
 # one crawl per (process, sf tier): every crawl_* query below reads views
@@ -384,8 +392,7 @@ def _crawled(sf_dir: str) -> str:
     # cache key = EFFECTIVE tier (env override included): a
     # GRAFT_WORLD_TIER process must never serve a differently-sized
     # world's crawl under the path tier's key
-    tier = os.environ.get("GRAFT_WORLD_TIER") \
-        or os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     out = _CRAWL_CACHE.get(tier)
     if out is None or not os.path.isdir(out):
         web = world_for_tier(tier)
@@ -584,10 +591,15 @@ def _caption_dedup(ds: "rd.Dataset"):
     from .analytics import _part_groupby_agg
 
     def _keys(cap_len: pd.Series, url: pd.Series) -> pd.Series:
-        # lexicographic argmax encoding: min key == (max len, min url);
-        # 6 digits bound alt-text length (engine captions are alt attrs)
-        return (1_000_000 - cap_len.clip(upper=999_999)) \
-            .map("{:07d}".format) + "|" + url
+        # lexicographic argmax encoding: min key == (max len, min url).
+        # 12 digits bound the fixed-width prefix; a >=1e12-char caption
+        # cannot silently tie-break wrong — fail loudly instead (the SQL
+        # oracle uses the unclipped LEN)
+        if (cap_len >= 1_000_000_000_000).any():
+            raise ValueError("caption length >= 1e12 breaks the "
+                             "fixed-width argmax key encoding")
+        return (1_000_000_000_000 - cap_len) \
+            .map("{:013d}".format) + "|" + url
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -606,7 +618,7 @@ def _caption_dedup(ds: "rd.Dataset"):
         lens, urls = [], []
         for k in b.column("key").to_pylist():
             pre, url = k.split("|", 1)
-            lens.append(1_000_000 - int(pre))
+            lens.append(1_000_000_000_000 - int(pre))
             urls.append(url)
         return pa.table({
             "phash": b.column("phash"),
@@ -722,7 +734,7 @@ def image_augment(sf_dir: str):
     of the same kernel (corpus-contract oracle, like audio/video)."""
     from ..stages.multimodal import ImageAugmentStage
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
         ImageAugmentStage, batch_format="pyarrow", batch_size=32,
@@ -813,7 +825,7 @@ def image_quality_scores(sf_dir: str):
     a no-Ray replay of the same kernel."""
     from ..stages.multimodal import ImageQualityStage
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
         ImageQualityStage, batch_format="pyarrow", batch_size=32,
@@ -828,7 +840,7 @@ def image_tiles(sf_dir: str):
     Corpus-contract oracle: no-Ray replay of the same kernel."""
     from ..stages.multimodal import ImageTileStage
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
         ImageTileStage, batch_format="pyarrow", batch_size=16,
@@ -852,7 +864,7 @@ def image_curation(sf_dir: str, min_side: int = 48,
     from ..stages.multimodal import ImageQualityStage
     from .analytics import _part_apply
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     scored = rd.from_arrow(_curation_corpus_rows(nc)).map_batches(
         ImageQualityStage, batch_format="pyarrow", batch_size=32,
@@ -993,7 +1005,7 @@ def image_dedup_vs_reference(sf_dir: str, max_hamming: int = 3):
     no-Ray phash exports."""
     import ray
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     ref = build_corpus_rows(nc)
     ref_ids = ref.column("image_id").to_pylist()
@@ -1039,7 +1051,7 @@ def audio_features(sf_dir: str):
     for hash stability). Small batches: binary rows are wide."""
     from ..stages.multimodal import AudioFeatureStage
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     n = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     ds = rd.from_arrow(_audio_corpus(n)).map_batches(
         AudioFeatureStage,
@@ -1111,7 +1123,7 @@ def video_frames(sf_dir: str):
     hashed for comparison)."""
     from ..stages.multimodal import VideoFrameSampleStage
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     n = max(_SCALES.get(tier, _DEFAULT_SCALE)[2] // 4, 4)
     ds = rd.from_arrow(_video_corpus(n)).map_batches(
         VideoFrameSampleStage,
@@ -1357,8 +1369,6 @@ def _pagerank_oracle_sql(links_path: str, iterations: int = _PR_ITERS,
     return head + "".join(its) + tail
 
 
-CRAWL_ORACLE_SQL = crawl_oracle_sql("sf0.01")
-
 
 def crawl_sites(sf_dir: str):
     """Sites table: domain + robots + sitemap text (K5/ST2)."""
@@ -1379,7 +1389,7 @@ def image_thumbnails(sf_dir: str):
     from ..functions import image_codec as ic
     from ..stages.multimodal import ImageResizeStage
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     corpus = build_corpus_rows(nc)
     ds = rd.from_arrow(corpus).map_batches(
@@ -1410,7 +1420,7 @@ def image_decode_stats(sf_dir: str):
     per-fmt counts (all rows must decode and pass fidelity)."""
     from ..functions import image_codec as ic
 
-    tier = os.path.basename(os.path.normpath(sf_dir))
+    tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     corpus = build_corpus_rows(nc)
     ds = rd.from_arrow(corpus)

@@ -41,7 +41,6 @@ Ray-Data-first.
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 import re
 from collections import Counter
@@ -51,7 +50,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Max, Min
 
 from ..functions import text as T
 
@@ -60,9 +59,7 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _r6(x: float) -> float:
-    """Cross-engine rounding: floor(x*1e6 + 0.5) / 1e6."""
-    return math.floor(x * 1e6 + 0.5) / 1e6
+from ..functions.rounding import round6 as _r6  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
