@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": F.image_tiles,
         "image_curation": F.image_curation,
         "image_dedup_vs_reference": F.image_dedup_vs_reference,
+        "image_aspect_bucket_pack": F.image_aspect_bucket_pack,
         "image_phash_neardup": F.image_phash_neardup,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,

@@ -301,6 +301,27 @@ def crawl_oracle_sql(tier: str) -> dict:
         QUALIFY row_number()
                 OVER (PARTITION BY phash ORDER BY image_id) = 1
     """,
+    "image_aspect_bucket_pack": f"""
+        WITH m AS (
+            SELECT image_id, w * h AS pixels, w * 1000 // h AS ratio
+            FROM read_parquet('{_X}/corpus.parquet')
+        ), lad AS (
+            SELECT UNNEST([500, 667, 750, 1000, 1333, 1500, 2000]) AS bm
+        ), asg AS (
+            SELECT image_id, pixels, bm AS bucket_milli
+            FROM m CROSS JOIN lad
+            QUALIFY row_number() OVER (
+                PARTITION BY image_id
+                ORDER BY ABS(ratio - bm), bm) = 1
+        )
+        SELECT image_id, bucket_milli, pixels,
+               CAST(SUM(pixels) OVER w - pixels AS BIGINT) AS start_px,
+               CAST((SUM(pixels) OVER w - pixels) // 1048576 AS BIGINT)
+                   AS batch_idx
+        FROM asg
+        WINDOW w AS (PARTITION BY bucket_milli ORDER BY image_id
+                     ROWS UNBOUNDED PRECEDING)
+    """,
     "image_dedup_vs_reference": f"""
         WITH best AS (
             SELECT n.image_id, r.image_id AS ref_id,
@@ -1018,6 +1039,91 @@ def image_dedup_vs_reference(sf_dir: str, max_hamming: int = 3):
                                "max_hamming": max_hamming},
         batch_format="pyarrow", batch_size=32, concurrency=2).to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+_ASPECT_LADDER_MILLI = (500, 667, 750, 1000, 1333, 1500, 2000)
+_PACK_PIXEL_BUDGET = 1_048_576  # 1 Mpx per training batch
+
+
+def image_aspect_bucket_pack(sf_dir: str,
+                             budget: int = _PACK_PIXEL_BUDGET,
+                             n_range: int = 16):
+    """Aspect-ratio bucketing + pixel-budget batch packing (the
+    SDXL-style variable-aspect training prep): every image joins the
+    ladder bucket with the nearest integer aspect ratio (w*1000//h,
+    ties to the smaller ladder value), then images are packed in
+    image_id order into training batches of <= ``budget`` pixels via
+    the chop-at-offset rule (batch_idx = exclusive-prefix-pixels //
+    budget — the same window-expressible packing contract as
+    ``doc_pack_sequences``).
+
+    Metadata-only: reads (image_id, w, h), never decodes a byte. Scale
+    shape = two-level distributed scan: images range-bucket on the
+    numeric id suffix (id-monotone, so range order == pack order);
+    per-batch partials give exact (aspect, range) pixel totals (tiny
+    driver merge — ladder x n_range rows), then ONE
+    groupby((aspect, range)) shuffle computes exact within-group
+    cumulative sums plus each group's global offset. ``n_range`` is a
+    free parallelism knob, so one popular aspect bucket (the 1:1 web
+    case) never serializes into a single task. SQL oracle: ladder
+    argmin + SUM() OVER window."""
+    import ray
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    meta = build_corpus_rows(nc).select(["image_id", "w", "h"])
+    ladder = np.array(_ASPECT_LADDER_MILLI, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy().astype(np.int64)
+        h = batch.column("h").to_numpy().astype(np.int64)
+        ratio = w * 1000 // h
+        dist = np.abs(ratio[:, None] - ladder[None, :])
+        bucket = ladder[np.argmin(dist, axis=1)]  # argmin ties -> first
+        # range-bucket on the numeric id suffix (img%08d) so every
+        # range holds a contiguous slice of the pack order
+        suffix = np.array([int(s[3:]) for s in
+                           batch.column("image_id").to_pylist()],
+                          dtype=np.int64)
+        rb = np.minimum(suffix * n_range // max(nc, 1), n_range - 1)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "bucket_milli": pa.array(bucket, pa.int64()),
+            "pixels": pa.array(w * h, pa.int64()),
+            "rb": pa.array(rb, pa.int64())})
+
+    cts = rd.from_arrow(meta).map_batches(assign, batch_format="pyarrow")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.select(["bucket_milli", "rb", "pixels"]).to_pandas()
+        g = df.groupby(["bucket_milli", "rb"], as_index=False)[
+            "pixels"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = cts.map_batches(partials, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby(["bucket_milli", "rb"])["pixels"].sum() \
+        .sort_index()
+    # exclusive prefix offsets within each aspect bucket, range-ordered
+    # (ranges are id-monotone, so range order == image_id pack order)
+    offs = tot.groupby(level=0).cumsum() - tot
+    off_ref = ray.put(offs.to_dict())
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        offs = _ray.get(off_ref)
+        g = g.sort_values("image_id").reset_index(drop=True)
+        key = (int(g["bucket_milli"].iloc[0]), int(g["rb"].iloc[0]))
+        start = g["pixels"].cumsum() - g["pixels"] + offs[key]
+        return pd.DataFrame({
+            "image_id": g["image_id"],
+            "bucket_milli": g["bucket_milli"],
+            "pixels": g["pixels"],
+            "start_px": start.astype("int64"),
+            "batch_idx": (start // budget).astype("int64")})
+
+    return cts.groupby(["bucket_milli", "rb"]) \
+        .map_groups(scan, batch_format="pandas")
+
 
 
 def _audio_expected(n: int) -> pa.Table:

@@ -2,6 +2,7 @@
 audio features and video frame sampling (deterministic fake decode; the
 real-codec path is an explicit NotImplementedError integration point)."""
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -276,3 +277,37 @@ def test_image_dedup_vs_reference_planted_copies(ray_session):
     novel = out[out["image_id"].str.startswith("img")]
     assert not novel["is_dup"].any()
     assert novel["ref_id"].isna().all()
+
+
+def test_image_aspect_bucket_pack_invariant_and_exact(ray_session):
+    """Pack output must be identical for any range-bucket count and
+    equal to a single-threaded replay of the packing rule."""
+    from ieps_crawler_ray.pipelines.flagship import (
+        _ASPECT_LADDER_MILLI, image_aspect_bucket_pack)
+
+    a = image_aspect_bucket_pack("/root/testdata/sf0.001", n_range=4) \
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    b = image_aspect_bucket_pack("/root/testdata/sf0.001", n_range=16) \
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    corpus = build_corpus_rows(60)
+    ladder = np.array(_ASPECT_LADDER_MILLI)
+    rows = []
+    for i in range(corpus.num_rows):
+        w = corpus.column("w")[i].as_py()
+        h = corpus.column("h")[i].as_py()
+        r = w * 1000 // h
+        rows.append((corpus.column("image_id")[i].as_py(),
+                     int(ladder[np.argmin(np.abs(r - ladder))]), w * h))
+    rows.sort()
+    seen = {}
+    expect = {}
+    for iid, bm, px in rows:
+        start = seen.get(bm, 0)
+        expect[iid] = (bm, px, start, start // 1_048_576)
+        seen[bm] = start + px
+    for _, row in a.iterrows():
+        assert expect[row["image_id"]] == (
+            row["bucket_milli"], row["pixels"],
+            row["start_px"], row["batch_idx"])
