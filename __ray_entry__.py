@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_vs_reference": F.image_dedup_vs_reference,
         "image_aspect_bucket_pack": F.image_aspect_bucket_pack,
         "image_phash_neardup": F.image_phash_neardup,
+        "image_phash_clusters": F.image_phash_clusters,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,
         "audio_features": F.audio_features,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": A.events_distinct_users_hll,
         "events_sliding_window": A.events_sliding_window,
         "events_type_stats_salted": A.events_type_stats_salted,
+        "events_top_users_per_type": A.events_top_users_per_type,
         "user_sessions": A.user_sessions,
         "user_funnel": A.user_funnel,
         "user_value_running_sum": A.user_value_running_sum,

@@ -393,15 +393,40 @@ def neardup_clusters(sf_dir: str, strategy: str = None):
 _FANOUT_PARTITIONS = 64
 
 
-def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
+def _lab_checksum(labels: "rd.Dataset", key_type) -> int:
+    """Join-free convergence checksum: per-sweep labels only ever
+    shrink, so ANY injective-enough monotone-sensitive reduction
+    detects change. Ints sum directly; strings sum a per-batch
+    stable hash (labels changed => some row's hash changed => the
+    uint64 wrap-sum changes with overwhelming probability)."""
+    if pa.types.is_integer(key_type):
+        return labels.sum("lab")
+
+    def h(b: pd.DataFrame) -> pd.DataFrame:
+        v = pd.util.hash_pandas_object(b["lab"], index=False).to_numpy()
+        return pd.DataFrame({"s": [int(v.sum(dtype=np.uint64))]})
+
+    parts = labels.map_batches(h, batch_format="pandas").to_pandas()
+    return int(np.uint64(parts["s"].to_numpy(dtype=np.uint64)
+                         .sum(dtype=np.uint64)))
+
+
+def _clusters_labelprop(pairs_ds: "rd.Dataset", a_col: str = "doc_a",
+                        b_col: str = "doc_b", out_col: str = "doc_id",
+                        key_type: "pa.DataType" = None) -> "pd.DataFrame":
     """Distributed min-label propagation: labels live as a Dataset; each
     sweep joins neighbor labels through a groupby fan-out and keeps the
     per-node minimum, until a sweep changes nothing. The pair set stays
-    distributed end-to-end (bidirecting is a per-batch transform)."""
+    distributed end-to-end (bidirecting is a per-batch transform).
+    Works over any orderable+hashable key dtype (int64 doc ids, string
+    urls): partitioning hashes the key column, the min-label rule is
+    dtype-generic pandas."""
+    key_type = key_type or pa.int64()
+
     def bidirect(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "src": pd.concat([b["doc_a"], b["doc_b"]], ignore_index=True),
-            "dst": pd.concat([b["doc_b"], b["doc_a"]], ignore_index=True)})
+            "src": pd.concat([b[a_col], b[b_col]], ignore_index=True),
+            "dst": pd.concat([b[b_col], b[a_col]], ignore_index=True)})
 
     edges = pairs_ds.map_batches(bidirect,
                                  batch_format="pandas").materialize()
@@ -410,7 +435,7 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
                             "lab": b.column("src")}),
         batch_format="pyarrow"), ["node"], {"lab": ("lab", "min")}) \
         .materialize()
-    prev_sum = labels.sum("lab")
+    prev_sum = _lab_checksum(labels, key_type)
     # the fan-out groups on part = key % P (bounded group count), not the
     # raw node key: each group is a PARTITION whose edges merge-join the
     # co-partitioned label rows vectorized — same shuffle shape, no
@@ -418,20 +443,21 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
     n_parts = _FANOUT_PARTITIONS
 
     def _parts(col: pa.ChunkedArray) -> pa.Array:
-        k = col.to_numpy(zero_copy_only=False)
-        return pa.array((k % n_parts).astype(np.int64))
+        k = pd.util.hash_pandas_object(
+            pd.Series(col.to_pandas()), index=False).to_numpy()
+        return pa.array((k % np.uint64(n_parts)).astype(np.int64))
 
     while True:
         def to_edge(b: pa.Table) -> pa.Table:
             return pa.table({"key": b.column("src"),
                              "part": _parts(b.column("src")),
                              "dst": b.column("dst"),
-                             "lab": pa.nulls(b.num_rows, pa.int64())})
+                             "lab": pa.nulls(b.num_rows, key_type)})
 
         def to_lab(b: pa.Table) -> pa.Table:
             return pa.table({"key": b.column("node"),
                              "part": _parts(b.column("node")),
-                             "dst": pa.nulls(b.num_rows, pa.int64()),
+                             "dst": pa.nulls(b.num_rows, key_type),
                              "lab": b.column("lab")})
 
         def fan_out(g: pd.DataFrame) -> pd.DataFrame:
@@ -439,11 +465,16 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
             es = g.loc[g["lab"].isna(), ["key", "dst"]]
             m = es.merge(labs, on="key")
             # own label rides along under the node's own key
-            return pd.DataFrame({
+            out = pd.DataFrame({
                 "node": pd.concat([labs["key"], m["dst"]],
-                                  ignore_index=True).astype("int64"),
+                                  ignore_index=True),
                 "lab": pd.concat([labs["lab"], m["lab"]],
-                                 ignore_index=True).astype("int64")})
+                                 ignore_index=True)})
+            if pa.types.is_integer(key_type):
+                # int64 columns ride through the union with nulls and
+                # come back float64 — restore the exact key dtype
+                out = out.astype({"node": "int64", "lab": "int64"})
+            return out
 
         new_labels = _part_groupby_agg(
             edges.map_batches(to_edge, batch_format="pyarrow")
@@ -453,15 +484,16 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset") -> "pd.DataFrame":
         # convergence: did any label shrink? (join-free checksum: the
         # label sum strictly decreases until the fixpoint). The previous
         # sweep's sum is carried forward — one aggregation per sweep.
-        new_sum = new_labels.sum("lab")
+        new_sum = _lab_checksum(new_labels, key_type)
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     out = labels.to_pandas().rename(
-        columns={"node": "doc_id", "lab": "cluster_id"})
-    return out.astype({"doc_id": "int64", "cluster_id": "int64"}) \
-        .sort_values("doc_id").reset_index(drop=True)
+        columns={"node": out_col, "lab": "cluster_id"})
+    if pa.types.is_integer(key_type):
+        out = out.astype({out_col: "int64", "cluster_id": "int64"})
+    return out.sort_values(out_col).reset_index(drop=True)
 
 
 _FUNNEL = ["signup", "click", "purchase"]
@@ -1413,6 +1445,18 @@ ORACLE_SQL = {
         FROM orders GROUP BY o_custkey
         ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 10
     """,
+    "events_top_users_per_type": """
+        SELECT event_type, user_id, total_cents, rank FROM (
+            SELECT event_type, user_id, total_cents,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY total_cents DESC, user_id) AS rank
+            FROM (SELECT event_type, user_id,
+                         CAST(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                       AS BIGINT)) AS BIGINT)
+                             AS total_cents
+                  FROM events GROUP BY event_type, user_id))
+        WHERE rank <= 5
+    """,
     "events_type_stats": """
         SELECT event_type, COUNT(*) AS n,
                ROUND(SUM(value), 2) AS sum_value,
@@ -1792,6 +1836,49 @@ def revenue_by_orderpriority(sf_dir: str):
         Sum("rev", alias_name="revenue")).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out[["o_orderpriority", "n_items", "revenue"]]
+
+
+def events_top_users_per_type(sf_dir: str, k: int = 5):
+    """Grouped top-k without a global sort: top ``k`` users by total
+    value within every event type. Money values go through integer
+    cents (floor(v*100+0.5)) so the sums are order-independent and
+    SQL-replayable.
+
+    Scale shape: per-batch (type, user) cent partials -> one
+    partition-wise groupby merge -> TWO-LEVEL top-k: each block keeps
+    only its local top-k per type (vectorized sort + group-head), so
+    the final per-type selection sees <= k x blocks rows, never the
+    user-cardinality table."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(cents=np.floor(b["value"].to_numpy() * 100 + 0.5)
+                     .astype(np.int64))
+        return b.groupby(["event_type", "user_id"], as_index=False) \
+            .agg(cents=("cents", "sum"))
+
+    agg = _part_groupby_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "user_id"], {"total_cents": ("cents", "sum")})
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["event_type", "total_cents", "user_id"],
+                             ascending=[True, False, True]) \
+            .groupby("event_type", sort=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "total_cents", "user_id"],
+                          ascending=[True, False, True]) \
+            .groupby("event_type", sort=False).head(k)
+        g["rank"] = g.groupby("event_type", sort=False).cumcount() + 1
+        # int columns can ride through map_groups as float64 when any
+        # upstream block was empty — restore the exact dtypes
+        return g.astype({"total_cents": "int64", "rank": "int64"})
+
+    return agg.map_batches(block_topk, batch_format="pandas") \
+        .groupby("event_type").map_groups(final_topk,
+                                          batch_format="pandas")
 
 
 def user_value_running_sum(sf_dir: str):

@@ -258,6 +258,32 @@ def crawl_oracle_sql(tier: str) -> dict:
         FROM im a JOIN im b ON a.url < b.url
         WHERE bit_count(xor(a.ph, b.ph)) <= 3
     """,
+    "image_phash_clusters": f"""
+        WITH RECURSIVE im AS MATERIALIZED (
+            SELECT DISTINCT url,
+                   CAST(CAST(phash AS HUGEINT)
+                        + CASE WHEN phash < 0
+                               THEN 18446744073709551616 ELSE 0 END
+                        AS UBIGINT) AS ph
+            FROM read_parquet('{_X}/images.parquet') WHERE downloaded
+        ),
+        prs AS MATERIALIZED (
+            SELECT a.url AS url_a, b.url AS url_b
+            FROM im a JOIN im b ON a.url < b.url
+            WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        ),
+        e AS MATERIALIZED (
+            SELECT url_a AS src, url_b AS dst FROM prs
+            UNION ALL SELECT url_b, url_a FROM prs
+        ),
+        reach(node, lab) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT e.dst, r.lab FROM e JOIN reach r ON e.src = r.node
+        )
+        SELECT node AS url, MIN(lab) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     "image_caption_dedup": f"""
         WITH im AS (
             SELECT phash, url, COALESCE(caption, '') AS cap
@@ -582,6 +608,46 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
     return _distinct_rows(_partitioned_bucket_pairs(
         ds.map_batches(explode, batch_format="pyarrow"),
         ["band_i", "band_h"], pairs), ["url_a", "url_b"])
+
+
+_IMG_CLUSTER_LOCAL_LIMIT_PAIRS = 10_000_000
+
+
+def image_phash_clusters(sf_dir: str, strategy: str = None):
+    """Connected components over the verified phash near-dup pairs —
+    the grouping pass that turns pairwise image matches into dedup
+    clusters (every member maps to its component's MIN url, the
+    canonical representative). Adaptive like ``neardup_clusters``:
+    pair sets are a tiny fraction of the corpus, so a driver union-find
+    runs under the limit; above it (or with ``strategy='labelprop'``)
+    the distributed min-label propagation runs with STRING keys — the
+    generalized ``_clusters_labelprop`` hashes the url for partitioning
+    and takes pandas min for the label rule."""
+    from .analytics import _clusters_labelprop
+
+    pairs_ds = image_phash_neardup(sf_dir).materialize()
+    if strategy != "labelprop" and \
+            pairs_ds.count() <= _IMG_CLUSTER_LOCAL_LIMIT_PAIRS:
+        pdf = pairs_ds.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["url_a"], pdf["url_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = sorted(set(pdf["url_a"]) | set(pdf["url_b"]))
+        return pd.DataFrame({
+            "url": members,
+            "cluster_id": [find(m) for m in members]})
+    return _clusters_labelprop(pairs_ds, "url_a", "url_b", "url",
+                               pa.string())
 
 
 def image_caption_dedup(sf_dir: str):

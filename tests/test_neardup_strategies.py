@@ -1,6 +1,7 @@
 """Both text-attachment strategies of the near-dup verify stage produce
 identical pairs (broadcast for small corpora, hash joins at scale)."""
 
+import pyarrow as pa
 import pandas as pd
 import ray.data as rd
 
@@ -305,3 +306,39 @@ def test_asof_join_user_with_no_clicks(ray_session, tmp_path):
     assert list(out["event_id"]) == [1, 2]      # user 7's purchases
     assert (out["prior_event_id"] == -1).all()  # no clicks for user 7
     assert (out["lag_us"] == -1).all()
+
+
+def test_image_phash_clusters_string_labelprop_parity(ray_session):
+    """The string-keyed labelprop path must equal the driver union-find
+    on the same crawl world, and both must equal min-url components."""
+    from ieps_crawler_ray.pipelines.flagship import image_phash_clusters
+
+    sf = "/root/testdata/sf0.001"
+    local = image_phash_clusters(sf)
+    dist = image_phash_clusters(sf, strategy="labelprop")
+    if not isinstance(local, pd.DataFrame):
+        local = local.to_pandas()
+    if not isinstance(dist, pd.DataFrame):
+        dist = dist.to_pandas()
+    local = local.sort_values("url").reset_index(drop=True)
+    dist = dist.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, dist)
+    # canonical representative is a member of its own cluster
+    assert set(local["cluster_id"]).issubset(set(local["url"]))
+
+
+def test_string_labelprop_planted_components(ray_session):
+    """Planted multi-hop string components: labelprop converges to the
+    min url even when the min is several hops from some members."""
+    import ray.data as rd
+
+    from ieps_crawler_ray.pipelines.analytics import _clusters_labelprop
+
+    pairs = pd.DataFrame({
+        "url_a": ["d", "c", "b", "x"],
+        "url_b": ["c", "b", "a", "y"]})  # chain d-c-b-a and pair x-y
+    out = _clusters_labelprop(rd.from_pandas(pairs), "url_a", "url_b",
+                              "url", pa.string())
+    got = dict(zip(out["url"], out["cluster_id"]))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
