@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": A.user_funnel,
         "user_value_running_sum": A.user_value_running_sum,
         "events_value_quantiles": A.events_value_quantiles,
+        "events_value_quantile_sketch": A.events_value_quantile_sketch,
         # text analysis (SQL-checked)
         "doc_lang_dist": A.doc_lang_dist,
         "doc_token_counts": A.doc_token_counts,

@@ -1445,6 +1445,32 @@ ORACLE_SQL = {
         FROM orders GROUP BY o_custkey
         ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 10
     """,
+    "events_value_quantile_sketch": """
+        WITH h AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 25 AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, bin
+        ), cum AS (
+            SELECT event_type, bin, n,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(n) OVER (PARTITION BY event_type) AS total
+            FROM h
+        )
+        SELECT event_type,
+               CAST(MAX(total) AS BIGINT) AS n_events,
+               CAST(MIN(CASE WHEN c >= (500 * total + 999) // 1000
+                    THEN (bin + 1) * 25 END) AS BIGINT)
+                   AS p50_cents,
+               CAST(MIN(CASE WHEN c >= (900 * total + 999) // 1000
+                    THEN (bin + 1) * 25 END) AS BIGINT)
+                   AS p90_cents,
+               CAST(MIN(CASE WHEN c >= (990 * total + 999) // 1000
+                    THEN (bin + 1) * 25 END) AS BIGINT)
+                   AS p99_cents
+        FROM cum GROUP BY event_type
+    """,
     "events_top_users_per_type": """
         SELECT event_type, user_id, total_cents, rank FROM (
             SELECT event_type, user_id, total_cents,
@@ -2212,6 +2238,52 @@ def events_value_quantiles(sf_dir: str):
             "p99": [round(float(np.quantile(v, 0.99)), 4)]})
 
     return ev.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
+def events_value_quantile_sketch(sf_dir: str, bin_cents: int = 25):
+    """Mergeable histogram quantile sketch — the constant-size
+    distributed quantile path for 10^10 rows (the exact
+    ``events_value_quantiles`` sorts every group; this one exchanges
+    only bounded (type, bin, n) partials). Values quantize to integer
+    cents (floor(v*100+0.5)), bins are fixed ``bin_cents`` wide, and
+    the reported quantile is the UPPER EDGE (in cents) of the first bin
+    whose cumulative count reaches ceil(q*n) — a deterministic,
+    SQL-replayable contract with error bounded by the bin width.
+    Sketches merge by integer addition: associative, commutative,
+    partitioning-invariant."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "bin": cents // bin_cents}) \
+            .groupby(["event_type", "bin"], as_index=False) \
+            .agg(n=("bin", "size"))
+
+    hist = _part_groupby_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "bin"], {"n": ("n", "sum")})
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bin")
+        c = g["n"].cumsum().to_numpy()
+        total = int(c[-1])
+        edges = ((g["bin"].to_numpy() + 1) * bin_cents).astype(np.int64)
+        out = {"event_type": [g["event_type"].iloc[0]],
+               "n_events": [total]}
+        for qm, name in ((500, "p50_cents"), (900, "p90_cents"),
+                         (990, "p99_cents")):
+            # ceil(q*n) in POSITIVE integer arithmetic — DuckDB's //
+            # truncates toward zero (not floor), so the negate-ceil
+            # idiom would disagree across engines
+            need = (qm * total + 999) // 1000
+            out[name] = [int(edges[np.searchsorted(c, need)])]
+        return pd.DataFrame(out)
+
+    return hist.groupby("event_type").map_groups(quantiles,
+                                                 batch_format="pandas")
 
 
 def events_sliding_window(sf_dir: str, size_s: int = 3 * 3600,
