@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_normalize": A.doc_text_normalize,
         "doc_tfidf_topterms": A.doc_tfidf_topterms,
         # joins / windows / sketches (SQL-checked)
+        "orders_semijoin_bloom": A.orders_semijoin_bloom,
         "events_asof_join": A.events_asof_join,
         "events_range_join": A.events_range_join,
         "events_distinct_users_hll": A.events_distinct_users_hll,

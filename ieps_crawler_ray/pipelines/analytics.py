@@ -1445,6 +1445,16 @@ ORACLE_SQL = {
         FROM orders GROUP BY o_custkey
         ORDER BY SUM(o_totalprice) DESC, o_custkey LIMIT 10
     """,
+    "orders_semijoin_bloom": """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders o
+        WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o.o_orderpriority
+    """,
     "events_value_quantile_sketch": """
         WITH h AS (
             SELECT event_type,
@@ -2238,6 +2248,77 @@ def events_value_quantiles(sf_dir: str):
             "p99": [round(float(np.quantile(v, 0.99)), 4)]})
 
     return ev.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
+def orders_semijoin_bloom(sf_dir: str, segment: str = "BUILDING",
+                          m_bits: int = 1 << 20, k_hashes: int = 4):
+    """Bloom-pruned semi-join (the big-join pushdown): revenue of orders
+    whose customer is in one market segment. The small side builds a
+    Bloom filter ONCE (vectorized splitmix64 double hashing, m/8 bytes
+    broadcast via ray.put); the big side probes it per batch to prune
+    rows BEFORE the exact membership verify against the broadcast key
+    set — at 10^10 orders the bloom rejects the overwhelming majority
+    of rows with a few cache-resident bit tests each, and the exact
+    verify (no false negatives, so never wrong) only sees the survivors.
+    Output = per-priority order counts + integer-cent revenue, so the
+    SQL oracle is a plain semi-join aggregate."""
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = cust.loc[cust["c_mktsegment"] == segment,
+                    "c_custkey"].to_numpy(dtype=np.uint64)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer — vectorized, stable across processes
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(~0)
+        x = ((x ^ (x >> np.uint64(30)))
+             * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(~0)
+        x = ((x ^ (x >> np.uint64(27)))
+             * np.uint64(0x94D049BB133111EB)) & np.uint64(~0)
+        return x ^ (x >> np.uint64(31))
+
+    def _positions(x: np.ndarray) -> np.ndarray:
+        h1, h2 = _mix(x), _mix(x ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+        return np.stack([(h1 + np.uint64(i) * h2)
+                         % np.uint64(m_bits)
+                         for i in range(k_hashes)])  # (k, n)
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    pos = _positions(keys).ravel()
+    np.bitwise_or.at(bits, pos >> 3,
+                     np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    bloom_ref = ray.put(bits)
+    exact_ref = ray.put(np.sort(keys))
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderpriority",
+                                      "o_totalprice"])
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bf = ray.get(bloom_ref)
+        ck = b["o_custkey"].to_numpy(dtype=np.uint64)
+        p = _positions(ck)
+        hit = np.ones(len(ck), dtype=bool)
+        for i in range(k_hashes):
+            hit &= (bf[p[i] >> 3]
+                    & (np.uint8(1) << (p[i] & np.uint64(7))
+                       .astype(np.uint8))) != 0
+        b = b[hit]
+        if len(b):  # exact verify: bloom has no false negatives
+            ex = ray.get(exact_ref)  # sorted uint64 keys
+            ck2 = b["o_custkey"].to_numpy(dtype=np.uint64)
+            j = np.searchsorted(ex, ck2)
+            b = b[(j < len(ex)) & (ex[np.minimum(j, len(ex) - 1)] == ck2)]
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return b.assign(cents=cents).groupby(
+            "o_orderpriority", as_index=False).agg(
+            n_orders=("cents", "size"), cents=("cents", "sum"))
+
+    out = orders.map_batches(probe, batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="revenue_cents"))
+    return out
 
 
 def events_value_quantile_sketch(sf_dir: str, bin_cents: int = 25):
