@@ -292,3 +292,44 @@ def test_extract_page_split():
 def test_mime_map():
     assert extract.MIME_TO_DATA_TYPE["application/pdf"] == "PDF"
     assert extract.MIME_TO_DATA_TYPE["application/msword"] == "DOC"
+
+
+def test_quantile_sketch_block_invariant(ray_session):
+    """The histogram sketch must be partitioning-invariant: integer-add
+    merge of partials gives the same result for any block layout."""
+    from ieps_crawler_ray.pipelines.analytics import \
+        events_value_quantile_sketch
+
+    a = events_value_quantile_sketch("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    b = events_value_quantile_sketch("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["p50_cents"] <= a["p90_cents"]).all()
+    assert (a["p90_cents"] <= a["p99_cents"]).all()
+
+
+def test_bloom_semijoin_exact_under_high_fp_rate(ray_session):
+    """With a tiny bloom (high false-positive rate) the exact verify
+    must still produce the exact semi-join result."""
+    import duckdb
+
+    from ieps_crawler_ray.pipelines.analytics import orders_semijoin_bloom
+
+    sf = "/root/testdata/sf0.001"
+    out = orders_semijoin_bloom(sf, m_bits=1 << 8, k_hashes=2) \
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM read_parquet('{sf}/orders.parquet') o
+        WHERE o.o_custkey IN (
+            SELECT c_custkey FROM read_parquet('{sf}/customer.parquet')
+            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """).df()
+    assert out["n_orders"].tolist() == want["n_orders"].tolist()
+    assert out["revenue_cents"].tolist() == want["revenue_cents"].tolist()
