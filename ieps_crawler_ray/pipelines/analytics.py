@@ -357,12 +357,26 @@ def neardup_clusters(sf_dir: str, strategy: str = None):
     pairs = minhash_lsh_neardup(sf_dir)
     pairs_ds = pairs if isinstance(pairs, rd.Dataset) \
         else rd.from_pandas(pairs)
+    return _clusters_adaptive(pairs_ds, "doc_a", "doc_b", "doc_id",
+                              pa.int64(), strategy=strategy)
+
+
+def _clusters_adaptive(pairs_ds: "rd.Dataset", a_col: str, b_col: str,
+                       out_col: str, key_type,
+                       limit: int = _CLUSTER_LOCAL_LIMIT_PAIRS,
+                       strategy: str = None):
+    """Adaptive connected components over a verified pair Dataset (any
+    orderable key dtype): near-dup pairs are a tiny fraction of the
+    corpus, so under ``limit`` a driver union-find runs on the collected
+    pairs; above it (or with ``strategy='labelprop'``) the distributed
+    min-label propagation runs — two shuffles per sweep, O(component
+    diameter) sweeps, nothing pair-scaled on the driver. Parity between
+    the paths is pinned by tests for both int and string keys."""
     # pin once: the strategy decision needs only count(), and the chosen
     # path re-reads the same blocks — the pair set is never collected to
     # the driver before the decision
     pairs_ds = pairs_ds.materialize()
-    if strategy != "labelprop" and \
-            pairs_ds.count() <= _CLUSTER_LOCAL_LIMIT_PAIRS:
+    if strategy != "labelprop" and pairs_ds.count() <= limit:
         pdf = pairs_ds.to_pandas()
         parent: dict = {}
 
@@ -372,18 +386,20 @@ def neardup_clusters(sf_dir: str, strategy: str = None):
                 x = parent[x]
             return x
 
-        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-            ra, rb = find(int(a)), find(int(b))
+        for a, b in zip(pdf[a_col], pdf[b_col]):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        members = sorted(set(pdf["doc_a"]) | set(pdf["doc_b"]))
-        out = pd.DataFrame({
-            "doc_id": pd.array(members, dtype="int64"),
-            "cluster_id": pd.array([find(int(m)) for m in members],
-                                   dtype="int64")})
-        return out
-    return _clusters_labelprop(pairs_ds)
+        members = sorted(set(pdf[a_col]) | set(pdf[b_col]))
+        # object dtype for strings: matches what the labelprop path's
+        # pandas concat produces, so the two paths are frame-identical
+        dtype = "int64" if pa.types.is_integer(key_type) else object
+        return pd.DataFrame({
+            out_col: pd.array(members, dtype=dtype),
+            "cluster_id": pd.array([find(m) for m in members],
+                                   dtype=dtype)})
+    return _clusters_labelprop(pairs_ds, a_col, b_col, out_col, key_type)
 
 
 # hash-partition count for the vectorized iterative fan-outs (labelprop,
@@ -1910,7 +1926,8 @@ def events_top_users_per_type(sf_dir: str, k: int = 5):
         g["rank"] = g.groupby("event_type", sort=False).cumcount() + 1
         # int columns can ride through map_groups as float64 when any
         # upstream block was empty — restore the exact dtypes
-        return g.astype({"total_cents": "int64", "rank": "int64"})
+        return g.astype({"user_id": "int64", "total_cents": "int64",
+                         "rank": "int64"})
 
     return agg.map_batches(block_topk, batch_format="pandas") \
         .groupby("event_type").map_groups(final_topk,
@@ -2269,11 +2286,10 @@ def orders_semijoin_bloom(sf_dir: str, segment: str = "BUILDING",
 
     def _mix(x: np.ndarray) -> np.ndarray:
         # splitmix64 finalizer — vectorized, stable across processes
-        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(~0)
-        x = ((x ^ (x >> np.uint64(30)))
-             * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(~0)
-        x = ((x ^ (x >> np.uint64(27)))
-             * np.uint64(0x94D049BB133111EB)) & np.uint64(~0)
+        # uint64 array arithmetic wraps mod 2^64 already — no mask
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return x ^ (x >> np.uint64(31))
 
     def _positions(x: np.ndarray) -> np.ndarray:
@@ -2338,8 +2354,12 @@ def events_value_quantile_sketch(sf_dir: str, bin_cents: int = 25):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(b["value"].to_numpy() * 100 + 0.5) \
             .astype(np.int64)
+        # truncate-toward-zero to match DuckDB's // (numpy // floors;
+        # they disagree on negative cents)
+        bins = np.where(cents >= 0, cents // bin_cents,
+                        -((-cents) // bin_cents))
         return pd.DataFrame({"event_type": b["event_type"],
-                             "bin": cents // bin_cents}) \
+                             "bin": bins}) \
             .groupby(["event_type", "bin"], as_index=False) \
             .agg(n=("bin", "size"))
 

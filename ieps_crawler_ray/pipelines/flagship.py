@@ -200,9 +200,6 @@ def ensure_oracle_export(sf_dir: str) -> str:
     return out
 
 
-_X = _ORACLE_EXPORT_BASE + "_sf0.01"  # the driver's correctness tier
-
-
 def crawl_oracle_sql(tier: str) -> dict:
     """DuckDB oracles for the crawl queries AT A GIVEN TIER: the oracle
     CRAWLER's exported tables are the ground truth (conformance tests pin
@@ -426,10 +423,6 @@ def crawl_oracle_sql(tier: str) -> dict:
     return out
 
 
-# the driver's correctness tier instance (back-compat name; tests and
-# check_contract default to sf0.01)
-
-
 # one crawl per (process, sf tier): every crawl_* query below reads views
 # of the same run's output instead of re-crawling
 _CRAWL_CACHE: dict = {}
@@ -610,44 +603,18 @@ def image_phash_neardup(sf_dir: str, max_hamming: int = 3,
         ["band_i", "band_h"], pairs), ["url_a", "url_b"])
 
 
-_IMG_CLUSTER_LOCAL_LIMIT_PAIRS = 10_000_000
-
-
 def image_phash_clusters(sf_dir: str, strategy: str = None):
     """Connected components over the verified phash near-dup pairs —
     the grouping pass that turns pairwise image matches into dedup
     clusters (every member maps to its component's MIN url, the
-    canonical representative). Adaptive like ``neardup_clusters``:
-    pair sets are a tiny fraction of the corpus, so a driver union-find
-    runs under the limit; above it (or with ``strategy='labelprop'``)
-    the distributed min-label propagation runs with STRING keys — the
-    generalized ``_clusters_labelprop`` hashes the url for partitioning
-    and takes pandas min for the label rule."""
-    from .analytics import _clusters_labelprop
+    canonical representative). Shares ``_clusters_adaptive`` with
+    ``neardup_clusters``: driver union-find under the pair limit,
+    STRING-keyed distributed min-label propagation above it."""
+    from .analytics import _clusters_adaptive
 
-    pairs_ds = image_phash_neardup(sf_dir).materialize()
-    if strategy != "labelprop" and \
-            pairs_ds.count() <= _IMG_CLUSTER_LOCAL_LIMIT_PAIRS:
-        pdf = pairs_ds.to_pandas()
-        parent: dict = {}
-
-        def find(x):
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for a, b in zip(pdf["url_a"], pdf["url_b"]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        members = sorted(set(pdf["url_a"]) | set(pdf["url_b"]))
-        return pd.DataFrame({
-            "url": members,
-            "cluster_id": [find(m) for m in members]})
-    return _clusters_labelprop(pairs_ds, "url_a", "url_b", "url",
-                               pa.string())
+    return _clusters_adaptive(image_phash_neardup(sf_dir),
+                              "url_a", "url_b", "url", pa.string(),
+                              strategy=strategy)
 
 
 def image_caption_dedup(sf_dir: str):
@@ -1158,7 +1125,10 @@ def image_aspect_bucket_pack(sf_dir: str,
             "pixels": pa.array(w * h, pa.int64()),
             "rb": pa.array(rb, pa.int64())})
 
-    cts = rd.from_arrow(meta).map_batches(assign, batch_format="pyarrow")
+    # pin once: both the partials pass and the final scan read the
+    # assigned rows — without this the assign map runs twice
+    cts = rd.from_arrow(meta).map_batches(
+        assign, batch_format="pyarrow").materialize()
 
     def partials(batch: pa.Table) -> pa.Table:
         df = batch.select(["bucket_milli", "rb", "pixels"]).to_pandas()

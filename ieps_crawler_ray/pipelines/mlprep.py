@@ -567,9 +567,10 @@ def knn_pq_adc(sf_dir: str, m: int = _PQ_M, k_codes: int = _PQ_K,
     # the published MLPREP_ORACLE_SQL replays the subspace slices for
     # dim=64 (the testdata embedding width); a different width silently
     # diverges from that static SQL, so fail loudly instead
-    assert dim == 64, (
-        f"knn_pq_adc oracle SQL is generated for dim=64, got {dim}; "
-        "regenerate via _pq_oracle_sql(dim=...) for other widths")
+    if dim != 64:
+        raise ValueError(
+            f"knn_pq_adc oracle SQL is generated for dim=64, got {dim}; "
+            "regenerate via _pq_oracle_sql(dim=...) for other widths")
     sub = dim // m
     books = _pq_fit(qds, m, k_codes, iterations, dim)
 
