@@ -1152,8 +1152,10 @@ def image_aspect_bucket_pack(sf_dir: str,
         start = g["pixels"].cumsum() - g["pixels"] + offs[key]
         return pd.DataFrame({
             "image_id": g["image_id"],
-            "bucket_milli": g["bucket_milli"],
-            "pixels": g["pixels"],
+            # int columns can ride through map_groups as float64 when
+            # any upstream block was empty — restore the exact dtypes
+            "bucket_milli": g["bucket_milli"].astype("int64"),
+            "pixels": g["pixels"].astype("int64"),
             "start_px": start.astype("int64"),
             "batch_idx": (start // budget).astype("int64")})
 
