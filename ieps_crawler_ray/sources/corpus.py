@@ -70,11 +70,16 @@ def build_corpus_rows(n: int, seed: int = 42, start: int = 0,
 
 
 def write_corpus(path: str, n: int, seed: int = 42) -> str:
+    """Write the corpus table — ``.lance`` when the gated backend is
+    present (sources/table_io), parquet otherwise (the stand-in)."""
+    from .table_io import write_table
+
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tbl = build_corpus_rows(n, seed)
-    pq.write_table(tbl, path, row_group_size=1024)
-    return path
+    return write_table(tbl, path, row_group_size=1024)
 
 
 def load_corpus(path: str) -> pa.Table:
-    return pq.read_table(path)
+    from .table_io import read_table
+
+    return read_table(path)

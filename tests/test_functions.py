@@ -333,3 +333,22 @@ def test_bloom_semijoin_exact_under_high_fp_rate(ray_session):
     """).df()
     assert out["n_orders"].tolist() == want["n_orders"].tolist()
     assert out["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+
+
+def test_table_io_parquet_roundtrip_and_lance_gate(tmp_path):
+    """table_io writes/reads parquet; the .lance path is an explicit
+    gated integration point (NotImplementedError without the wheel)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from ieps_crawler_ray.sources import table_io as tio
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    tio.write_table(t, p)
+    assert tio.read_table(p).equals(t)
+    if not tio.lance_available():
+        with _pytest.raises(NotImplementedError):
+            tio.write_table(t, str(tmp_path / "t.lance"))
+        with _pytest.raises(NotImplementedError):
+            tio.read_table(str(tmp_path / "t.lance"))
