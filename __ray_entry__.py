@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_aspect_bucket_pack": F.image_aspect_bucket_pack,
         "image_phash_neardup": F.image_phash_neardup,
         "image_phash_clusters": F.image_phash_clusters,
+        "crawl_image_diversity": F.crawl_image_diversity,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,
         "audio_features": F.audio_features,

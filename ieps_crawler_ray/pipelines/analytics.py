@@ -617,22 +617,31 @@ _HLL_P = 8  # 256 registers per sketch
 
 def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
     """Approximate distinct users per event type via a HyperLogLog sketch
-    (the mergeable-sketch pattern: per-batch register arrays combine by
-    element-wise max, so the exchange carries types × 2^p register rows —
-    never user ids). Fully deterministic given the hash (md5-derived, the
-    same 64-bit key DuckDB's md5_number_lower yields), so the oracle
-    recomputes identical registers and the identical estimate in SQL.
-    Standard bias-corrected estimator with the linear-counting small-range
-    branch. At 100 TB this replaces an exact COUNT DISTINCT's full
-    shuffle of the key column with a constant-size sketch merge."""
-    m = 1 << p
+    — see ``_hll_approx_distinct`` (shared with the crawl-side
+    ``crawl_image_diversity``)."""
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["event_type", "user_id"])
+    return _hll_approx_distinct(ds, "event_type", "user_id",
+                                "approx_users", p)
+
+
+def _hll_approx_distinct(ds: "rd.Dataset", key_col: str, val_col: str,
+                         out_col: str, p: int = _HLL_P):
+    """Approximate COUNT(DISTINCT val) per key via a HyperLogLog sketch
+    (the mergeable-sketch pattern: per-batch register arrays combine by
+    element-wise max, so the exchange carries keys × 2^p register rows —
+    never values). Fully deterministic given the hash (md5-derived, the
+    same 64-bit key DuckDB's md5_number_lower yields), so oracles
+    recompute identical registers and the identical estimate in SQL.
+    Standard bias-corrected estimator with the linear-counting small-range
+    branch. At 100 TB this replaces an exact COUNT DISTINCT's full
+    shuffle of the value column with a constant-size sketch merge."""
+    m = 1 << p
 
     def registers(batch: pd.DataFrame) -> pd.DataFrame:
         out_t, out_b, out_r = [], [], []
-        for et, g in batch.groupby("event_type"):
-            hs = np.array([T._h64_md5(str(u)) for u in g["user_id"]],
+        for et, g in batch.groupby(key_col):
+            hs = np.array([T._h64_md5(str(u)) for u in g[val_col]],
                           dtype=np.uint64)
             bucket = (hs & np.uint64(m - 1)).astype(np.int64)
             w = hs >> np.uint64(p)
@@ -650,27 +659,28 @@ def events_distinct_users_hll(sf_dir: str, p: int = _HLL_P):
             out_t.extend([et] * len(df))
             out_b.extend(df["bucket"])
             out_r.extend(df["rho"])
-        return pd.DataFrame({"event_type": out_t, "bucket": out_b,
+        return pd.DataFrame({key_col: out_t, "bucket": out_b,
                              "rho": out_r})
 
     regs = _part_groupby_agg(
         ds.map_batches(registers, batch_format="pandas",
                        batch_size=64 * 1024),
-        ["event_type", "bucket"], {"rho": ("rho", "max")})
+        [key_col, "bucket"], {"rho": ("rho", "max")})
 
     def estimate(g: pd.DataFrame) -> pd.DataFrame:
         rho = np.zeros(m, dtype=np.int64)
-        rho[g["bucket"].to_numpy()] = g["rho"].to_numpy()
+        rho[g["bucket"].to_numpy(dtype=np.int64)] = \
+            g["rho"].to_numpy(dtype=np.int64)
         alpha = 0.7213 / (1 + 1.079 / m)
         e = alpha * m * m / np.sum(np.power(2.0, -rho.astype(np.float64)))
         zeros = int((rho == 0).sum())
         if e <= 2.5 * m and zeros > 0:
             e = m * np.log(m / zeros)
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "approx_users": [int(np.floor(e + 0.5))]})
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             out_col: [int(np.floor(e + 0.5))]})
 
-    return regs.groupby("event_type").map_groups(estimate,
-                                                 batch_format="pandas")
+    return regs.groupby(key_col).map_groups(estimate,
+                                            batch_format="pandas")
 
 
 def events_asof_join(sf_dir: str):

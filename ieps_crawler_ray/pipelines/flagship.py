@@ -281,6 +281,49 @@ def crawl_oracle_sql(tier: str) -> dict:
         SELECT node AS url, MIN(lab) AS cluster_id
         FROM reach GROUP BY node
     """,
+    "crawl_image_diversity": f"""
+        WITH src AS (
+            SELECT domain, phash
+            FROM read_parquet('{_X}/images.parquet') WHERE downloaded
+        ),
+        h AS (
+            SELECT domain,
+                   md5_number_lower(CAST(phash AS VARCHAR)) AS hv
+            FROM src
+        ),
+        r AS (
+            SELECT domain, CAST(hv % 256 AS BIGINT) AS bucket,
+                   CASE WHEN (hv >> 8) = 0 THEN 57
+                        ELSE 56 - length(bin(hv >> 8)) + 1 END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT domain, bucket, MAX(rho) AS rho
+            FROM r GROUP BY domain, bucket
+        ),
+        grid AS (SELECT DISTINCT domain FROM src),
+        filled AS (
+            SELECT g.domain, b.b AS bucket,
+                   COALESCE(regs.rho, 0) AS rho
+            FROM grid g CROSS JOIN
+                 (SELECT UNNEST(range(0, 256)) AS b) b
+            LEFT JOIN regs ON regs.domain = g.domain
+                          AND regs.bucket = b.b
+        ),
+        est AS (
+            SELECT domain,
+                   0.7213 / (1 + 1.079 / 256) * 256 * 256
+                       / SUM(POWER(2.0, -rho)) AS e,
+                   SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM filled GROUP BY domain
+        )
+        SELECT domain,
+               CAST(FLOOR(CASE WHEN e <= 2.5 * 256 AND zeros > 0
+                               THEN 256 * LN(256.0 / zeros)
+                               ELSE e END + 0.5) AS BIGINT)
+                   AS approx_distinct_phash
+        FROM est
+    """,
     "image_caption_dedup": f"""
         WITH im AS (
             SELECT phash, url, COALESCE(caption, '') AS cap
@@ -615,6 +658,24 @@ def image_phash_clusters(sf_dir: str, strategy: str = None):
     return _clusters_adaptive(image_phash_neardup(sf_dir),
                               "url_a", "url_b", "url", pa.string(),
                               strategy=strategy)
+
+
+def crawl_image_diversity(sf_dir: str):
+    """Per-domain DISTINCT-phash HyperLogLog over the crawled images —
+    the crawl-side composition of the mergeable-sketch pattern (how
+    visually diverse is each domain's image inventory; near-identical
+    logo/banner spam shows up as a tiny distinct count against a large
+    row count). Shares ``_hll_approx_distinct`` with the events HLL:
+    the exchange carries domains × 256 register rows, never phashes.
+    SQL oracle recomputes registers AND estimate bit-exactly over the
+    oracle crawler's images export."""
+    from .analytics import _hll_approx_distinct
+
+    ds = C.read_images(_crawled(sf_dir)) \
+        .filter(expr="downloaded == True") \
+        .select_columns(["domain", "phash"])
+    return _hll_approx_distinct(ds, "domain", "phash",
+                                "approx_distinct_phash")
 
 
 def image_caption_dedup(sf_dir: str):
