@@ -94,25 +94,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": M.embedding_semdedup,
         "knn_pq_adc": M.knn_pq_adc,
         # sampling / corpus statistics (SQL-checked)
+        "doc_tfidf_topterms": A.doc_tfidf_topterms,
+        # joins / windows / sketches (SQL-checked) — the hard composed
+        # operators stay inside the driver's 50-cap; simple sampling /
+        # normalization entries bring up the rear with the relational
+        # aggregates
+        "orders_semijoin_bloom": A.orders_semijoin_bloom,
+        "events_asof_join": A.events_asof_join,
+        "events_range_join": A.events_range_join,
+        "events_distinct_users_hll": A.events_distinct_users_hll,
+        "events_value_quantile_sketch": A.events_value_quantile_sketch,
+        "user_funnel": A.user_funnel,
+        "events_sliding_window": A.events_sliding_window,
+        "events_type_stats_salted": A.events_type_stats_salted,
+        "events_top_users_per_type": A.events_top_users_per_type,
+        "user_sessions": A.user_sessions,
+        "user_value_running_sum": A.user_value_running_sum,
+        "events_value_quantiles": A.events_value_quantiles,
         "doc_hash_sample": A.doc_hash_sample,
         "doc_stratified_sample": A.doc_stratified_sample,
         "corpus_ngram_counts": A.corpus_ngram_counts,
         "embedding_centroids": A.embedding_centroids,
         "doc_text_normalize": A.doc_text_normalize,
-        "doc_tfidf_topterms": A.doc_tfidf_topterms,
-        # joins / windows / sketches (SQL-checked)
-        "orders_semijoin_bloom": A.orders_semijoin_bloom,
-        "events_asof_join": A.events_asof_join,
-        "events_range_join": A.events_range_join,
-        "events_distinct_users_hll": A.events_distinct_users_hll,
-        "events_sliding_window": A.events_sliding_window,
-        "events_type_stats_salted": A.events_type_stats_salted,
-        "events_top_users_per_type": A.events_top_users_per_type,
-        "user_sessions": A.user_sessions,
-        "user_funnel": A.user_funnel,
-        "user_value_running_sum": A.user_value_running_sum,
-        "events_value_quantiles": A.events_value_quantiles,
-        "events_value_quantile_sketch": A.events_value_quantile_sketch,
         # text analysis (SQL-checked)
         "doc_lang_dist": A.doc_lang_dist,
         "doc_token_counts": A.doc_token_counts,
