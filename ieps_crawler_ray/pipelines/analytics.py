@@ -1448,6 +1448,55 @@ _FINGERPRINT_SQL = f"""
     FROM chosen GROUP BY doc_id
 """
 
+def hll_oracle_sql(src_sql: str, key: str, val: str, out: str,
+                   p: int = _HLL_P) -> str:
+    """One SQL template for every HLL oracle (bit-exact replay of
+    ``_hll_approx_distinct``): the md5 hash, bucket/rho split,
+    register max-merge, grid fill and bias-corrected estimator are
+    stated ONCE and parameterized on (source, key, value, out)."""
+    m = 1 << p
+    return f"""
+        WITH src AS ({src_sql}),
+        h AS (
+            SELECT {key},
+                   md5_number_lower(CAST({val} AS VARCHAR)) AS hv
+            FROM src
+        ),
+        r AS (
+            SELECT {key}, CAST(hv % {m} AS BIGINT) AS bucket,
+                   CASE WHEN (hv >> {p}) = 0 THEN {64 - p + 1}
+                        ELSE {64 - p} - length(bin(hv >> {p})) + 1
+                        END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT {key}, bucket, MAX(rho) AS rho
+            FROM r GROUP BY {key}, bucket
+        ),
+        grid AS (SELECT DISTINCT {key} FROM src),
+        filled AS (
+            SELECT g.{key}, b.b AS bucket,
+                   COALESCE(regs.rho, 0) AS rho
+            FROM grid g CROSS JOIN
+                 (SELECT UNNEST(range(0, {m})) AS b) b
+            LEFT JOIN regs ON regs.{key} = g.{key}
+                          AND regs.bucket = b.b
+        ),
+        est AS (
+            SELECT {key},
+                   0.7213 / (1 + 1.079 / {m}) * {m} * {m}
+                       / SUM(POWER(2.0, -rho)) AS e,
+                   SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+            FROM filled GROUP BY {key}
+        )
+        SELECT {key},
+               CAST(FLOOR(CASE WHEN e <= 2.5 * {m} AND zeros > 0
+                               THEN {m} * LN({m}.0 / zeros)
+                               ELSE e END + 0.5) AS BIGINT) AS {out}
+        FROM est
+    """
+
+
 ORACLE_SQL = {
     "tpch_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1712,44 +1761,9 @@ ORACLE_SQL = {
                 ORDER BY score_milli DESC, tf DESC, df ASC, term ASC) AS rn
             FROM scored) WHERE rn <= {_TFIDF_K}
     """,
-    "events_distinct_users_hll": """
-        WITH h AS (
-            SELECT event_type,
-                   md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
-            FROM events
-        ),
-        r AS (
-            SELECT event_type, CAST(hv % 256 AS BIGINT) AS bucket,
-                   CASE WHEN (hv >> 8) = 0 THEN 57
-                        ELSE 56 - length(bin(hv >> 8)) + 1 END AS rho
-            FROM h
-        ),
-        regs AS (
-            SELECT event_type, bucket, MAX(rho) AS rho
-            FROM r GROUP BY event_type, bucket
-        ),
-        grid AS (SELECT DISTINCT event_type FROM events),
-        filled AS (
-            SELECT g.event_type, b.b AS bucket,
-                   COALESCE(regs.rho, 0) AS rho
-            FROM grid g CROSS JOIN
-                 (SELECT UNNEST(range(0, 256)) AS b) b
-            LEFT JOIN regs ON regs.event_type = g.event_type
-                          AND regs.bucket = b.b
-        ),
-        est AS (
-            SELECT event_type,
-                   0.7213 / (1 + 1.079 / 256) * 256 * 256
-                       / SUM(POWER(2.0, -rho)) AS e,
-                   SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
-            FROM filled GROUP BY event_type
-        )
-        SELECT event_type,
-               CAST(FLOOR(CASE WHEN e <= 2.5 * 256 AND zeros > 0
-                               THEN 256 * LN(256.0 / zeros)
-                               ELSE e END + 0.5) AS BIGINT) AS approx_users
-        FROM est
-    """,
+    "events_distinct_users_hll": hll_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        "event_type", "user_id", "approx_users"),
     "events_asof_join": """
         WITH a AS (SELECT event_id, ts, user_id FROM events
                    WHERE event_type = 'purchase'),

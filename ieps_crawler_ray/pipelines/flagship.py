@@ -211,6 +211,7 @@ def crawl_oracle_sql(tier: str) -> dict:
     ``oracle_sql()`` calls ``ensure_oracle_export()`` for the same tier
     before returning these strings."""
     _X = f"{_ORACLE_EXPORT_BASE}_{tier}"
+    from .analytics import hll_oracle_sql as _A_hll
     out = {
         "crawl_flagship": f"""
         SELECT url, domain, page_type, http_status, content_hash, seq,
@@ -281,49 +282,10 @@ def crawl_oracle_sql(tier: str) -> dict:
         SELECT node AS url, MIN(lab) AS cluster_id
         FROM reach GROUP BY node
     """,
-    "crawl_image_diversity": f"""
-        WITH src AS (
-            SELECT domain, phash
-            FROM read_parquet('{_X}/images.parquet') WHERE downloaded
-        ),
-        h AS (
-            SELECT domain,
-                   md5_number_lower(CAST(phash AS VARCHAR)) AS hv
-            FROM src
-        ),
-        r AS (
-            SELECT domain, CAST(hv % 256 AS BIGINT) AS bucket,
-                   CASE WHEN (hv >> 8) = 0 THEN 57
-                        ELSE 56 - length(bin(hv >> 8)) + 1 END AS rho
-            FROM h
-        ),
-        regs AS (
-            SELECT domain, bucket, MAX(rho) AS rho
-            FROM r GROUP BY domain, bucket
-        ),
-        grid AS (SELECT DISTINCT domain FROM src),
-        filled AS (
-            SELECT g.domain, b.b AS bucket,
-                   COALESCE(regs.rho, 0) AS rho
-            FROM grid g CROSS JOIN
-                 (SELECT UNNEST(range(0, 256)) AS b) b
-            LEFT JOIN regs ON regs.domain = g.domain
-                          AND regs.bucket = b.b
-        ),
-        est AS (
-            SELECT domain,
-                   0.7213 / (1 + 1.079 / 256) * 256 * 256
-                       / SUM(POWER(2.0, -rho)) AS e,
-                   SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
-            FROM filled GROUP BY domain
-        )
-        SELECT domain,
-               CAST(FLOOR(CASE WHEN e <= 2.5 * 256 AND zeros > 0
-                               THEN 256 * LN(256.0 / zeros)
-                               ELSE e END + 0.5) AS BIGINT)
-                   AS approx_distinct_phash
-        FROM est
-    """,
+    "crawl_image_diversity": _A_hll(
+        f"SELECT domain, phash "
+        f"FROM read_parquet('{_X}/images.parquet') WHERE downloaded",
+        "domain", "phash", "approx_distinct_phash"),
     "image_caption_dedup": f"""
         WITH im AS (
             SELECT phash, url, COALESCE(caption, '') AS cap

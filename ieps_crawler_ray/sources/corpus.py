@@ -70,8 +70,9 @@ def build_corpus_rows(n: int, seed: int = 42, start: int = 0,
 
 
 def write_corpus(path: str, n: int, seed: int = 42) -> str:
-    """Write the corpus table — ``.lance`` when the gated backend is
-    present (sources/table_io), parquet otherwise (the stand-in)."""
+    """Write the corpus table via sources/table_io: the path SUFFIX
+    picks the backend (``.lance`` -> Lance when the wheel is present,
+    else NotImplementedError; anything else -> parquet stand-in)."""
     from .table_io import write_table
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -4,12 +4,11 @@ pairs).
 
 No ``lance`` wheel exists in this container, so Parquet is the stand-in
 everywhere — but the integration point is REAL code, not a comment:
-``read_table_ds`` / ``write_table_file`` dispatch on the path suffix and
-on backend availability, so on a host with ``lance`` installed the same
-pipelines read/write ``.lance`` datasets with zero call-site changes
-(Lance exposes ``lance.dataset(...).to_table()`` and
-``lance.write_dataset`` over the exact Arrow schema this repo uses;
-``ray.data.read_lance`` exists in Ray 2.49 and is used when present).
+``read_table`` / ``write_table`` dispatch on the PATH SUFFIX (a
+``.lance`` path uses the Lance backend and raises NotImplementedError
+when the wheel is absent; anything else is parquet), so a corpus laid
+out as ``.lance`` on a Lance host flows through the same call sites
+(``sources/corpus.write_corpus`` / ``load_corpus``) unchanged.
 """
 
 from __future__ import annotations
@@ -38,31 +37,16 @@ def read_table(path: str) -> pa.Table:
     return pq.read_table(path)
 
 
-def read_table_ds(path: str, **kwargs):
-    """``ray.data`` streaming read of a ``.lance`` dataset (native
-    ``read_lance`` when present) or a parquet file/dir. kwargs pass
-    through (``columns=``, ``override_num_blocks=``, ...)."""
-    import ray.data as rd
-
-    if path.endswith(".lance"):
-        if lance is None:
-            raise NotImplementedError(
-                "no `lance` wheel in this environment — use parquet")
-        if hasattr(rd, "read_lance"):
-            return rd.read_lance(path, **kwargs)
-        tbl = lance.dataset(path).to_table(
-            columns=kwargs.get("columns"))
-        return rd.from_arrow(tbl)
-    return rd.read_parquet(path, **kwargs)
-
-
 def write_table(tbl: pa.Table, path: str, row_group_size: int = 1024):
-    """Write a ``.lance`` dataset or a parquet file (same schema)."""
+    """Write a ``.lance`` dataset or a parquet file (same schema).
+    Both branches OVERWRITE an existing table at ``path`` (parquet
+    rewrites the file; Lance uses mode="overwrite"). ``row_group_size``
+    applies to parquet only — Lance manages its own fragment layout."""
     if path.endswith(".lance"):
         if lance is None:
             raise NotImplementedError(
                 "no `lance` wheel in this environment — use parquet")
-        lance.write_dataset(tbl, path)
+        lance.write_dataset(tbl, path, mode="overwrite")
         return path
     pq.write_table(tbl, path, row_group_size=row_group_size)
     return path
