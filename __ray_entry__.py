@@ -71,10 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": F.video_frames,
         # corpus quality filtering / packing (round-3; SQL-checked)
         "doc_gopher_quality": Q.doc_gopher_quality,
+        "doc_unigram_logprob": Q.doc_unigram_logprob,
         "doc_dup_ngram_spans": Q.doc_dup_ngram_spans,
         "doc_pii_redact": Q.doc_pii_redact,
         "doc_pack_sequences": Q.doc_pack_sequences,
-        "corpus_mixture_sample": Q.corpus_mixture_sample,
         # dedup / fingerprints / language (SQL-checked)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
         "simhash_neardup": A.simhash_neardup,
@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": A.user_funnel,
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass) ---
+        "corpus_mixture_sample": Q.corpus_mixture_sample,
         "doc_simhash": A.doc_simhash,
         "events_sliding_window": A.events_sliding_window,
         "events_type_stats_salted": A.events_type_stats_salted,

@@ -330,6 +330,79 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM log-probability scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+_LM_KEEP_THRESHOLD_MICRO = -3_402_000  # avg token logprob (micro-nats)
+
+
+def doc_unigram_logprob(sf_dir: str,
+                        keep_threshold_micro: int =
+                        _LM_KEEP_THRESHOLD_MICRO):
+    """CCNet-style LM quality scoring: train a corpus unigram LM in one
+    bounded pass, then score every document's total token log-probability
+    and flag the keep side of an average-logprob threshold (the
+    perplexity-filter shape of Wenzek et al. 2020, with the corpus
+    itself as the LM).
+
+    Scale shape: unigram counts are vocab-bounded partials
+    (``_part_groupby_agg``), and the broadcast dict is pruned to counts
+    >= 2 — a singleton token's logprob is the CLOSED FORM ln(1/N), so
+    the unbounded hapax tail never crosses to the driver (the same
+    boundedness argument as ``doc_tfidf_topterms``). Per-token logprobs
+    become integers (micro-nats, 9-decimal pre-round shared with the
+    SQL oracle) BEFORE summation, so the per-doc sum is
+    order-independent; the keep test is an integer cross-multiply
+    (``sum >= threshold * n``), exact in both engines — no float
+    division, no floor-vs-trunc hazard."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=16).materialize()
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(T.TOKEN_RE.findall(t.lower()))
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    from .analytics import _part_groupby_agg
+
+    cnt = _part_groupby_agg(
+        ds.map_batches(term_counts, batch_format="pyarrow"),
+        ["w"], {"c": ("c", "sum")}).materialize()
+    n_tok = int(cnt.sum("c") or 0)
+    shared = cnt.filter(expr="c >= 2").to_pandas()
+    lp_ref = ray.put(dict(zip(shared["w"], shared["c"])))
+
+    def lp_micro(c: int, n: int) -> int:
+        return int(np.floor(np.round(np.log(c / n), 9) * 1e6 + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        counts = ray.get(lp_ref)
+        hapax_lp = lp_micro(1, n_tok) if n_tok else 0
+        ids, nts, sums, keeps = [], [], [], []
+        for i, text in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("text").to_pylist()):
+            tf = Counter(T.TOKEN_RE.findall(text.lower()))
+            n = sum(tf.values())
+            s = sum(k * (lp_micro(counts[w], n_tok)
+                         if w in counts else hapax_lp)
+                    for w, k in tf.items())
+            ids.append(i)
+            nts.append(n)
+            sums.append(s)
+            keeps.append(int(s >= keep_threshold_micro * n))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nts, pa.int64()),
+            "logprob_micro": pa.array(sums, pa.int64()),
+            "keep": pa.array(keeps, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # weighted source-mixture sampling
 # ---------------------------------------------------------------------------
 
@@ -364,6 +437,31 @@ def corpus_mixture_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUALITY_ORACLE_SQL = {
+    "doc_unigram_logprob": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS w
+            FROM documents
+        ),
+        cnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        nt AS (SELECT COUNT(*) AS n FROM toks),
+        lp AS (SELECT w, CAST(FLOOR(ROUND(
+                   LN(CAST(c AS DOUBLE) / (SELECT n FROM nt)), 9)
+                   * 1e6 + 0.5) AS BIGINT) AS lpm
+               FROM cnt),
+        doc AS (
+            SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(lp.lpm) AS BIGINT) AS s
+            FROM toks t JOIN lp ON t.w = lp.w GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(doc.n_tokens, 0) AS n_tokens,
+               COALESCE(doc.s, 0) AS logprob_micro,
+               CASE WHEN COALESCE(doc.s, 0)
+                         >= -3402000 * COALESCE(doc.n_tokens, 0)
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d LEFT JOIN doc USING (doc_id)
+    """,
     "doc_gopher_quality": r"""
         WITH d AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS ws
                    FROM documents),
