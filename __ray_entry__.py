@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_neardup": F.image_phash_neardup,
         "image_phash_clusters": F.image_phash_clusters,
         "crawl_image_diversity": F.crawl_image_diversity,
+        "crawl_link_components": F.crawl_link_components,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,
         "audio_features": F.audio_features,
@@ -73,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": Q.doc_gopher_quality,
         "doc_unigram_logprob": Q.doc_unigram_logprob,
         "doc_dup_ngram_spans": Q.doc_dup_ngram_spans,
-        "doc_pii_redact": Q.doc_pii_redact,
         "doc_pack_sequences": Q.doc_pack_sequences,
         # dedup / fingerprints / language (SQL-checked)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass) ---
         "corpus_mixture_sample": Q.corpus_mixture_sample,
+        "doc_pii_redact": Q.doc_pii_redact,
         "doc_simhash": A.doc_simhash,
         "events_sliding_window": A.events_sliding_window,
         "events_type_stats_salted": A.events_type_stats_salted,

@@ -282,6 +282,23 @@ def crawl_oracle_sql(tier: str) -> dict:
         SELECT node AS url, MIN(lab) AS cluster_id
         FROM reach GROUP BY node
     """,
+    "crawl_link_components": f"""
+        WITH RECURSIVE prs AS MATERIALIZED (
+            SELECT from_url, to_url
+            FROM read_parquet('{_X}/links.parquet')
+        ),
+        e AS MATERIALIZED (
+            SELECT from_url AS src, to_url AS dst FROM prs
+            UNION ALL SELECT to_url, from_url FROM prs
+        ),
+        reach(node, lab) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT e.dst, r.lab FROM e JOIN reach r ON e.src = r.node
+        )
+        SELECT node AS url, MIN(lab) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     "crawl_image_diversity": _A_hll(
         f"SELECT domain, phash "
         f"FROM read_parquet('{_X}/images.parquet') WHERE downloaded",
@@ -468,6 +485,22 @@ def crawl_links(sf_dir: str):
     """Deduplicated link-graph edges between stored pages (K4/D5/J4)."""
     links = C.read_links(_crawled(sf_dir)).to_pandas()
     return links.sort_values(["parent_url", "url"]).reset_index(drop=True)
+
+
+def crawl_link_components(sf_dir: str, strategy: str = None):
+    """Weakly-connected components over the crawl's page link graph
+    (the site-structure grouping pass beside degrees/PageRank — A3
+    family): every linked page maps to its component's MIN url. Reuses
+    ``_clusters_adaptive`` (driver union-find under the pair limit,
+    string-keyed distributed min-label propagation above it); pages
+    with no edges are not graph nodes and are excluded, matching the
+    recursive-CTE oracle's reachability universe."""
+    from .analytics import _clusters_adaptive
+
+    links = C.read_links(_crawled(sf_dir)) \
+        .select_columns(["parent_url", "url"])
+    return _clusters_adaptive(links, "parent_url", "url", "url",
+                              pa.string(), strategy=strategy)
 
 
 def crawl_images(sf_dir: str):
