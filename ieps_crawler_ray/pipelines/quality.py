@@ -403,6 +403,54 @@ def doc_unigram_logprob(sf_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# benchmark-contamination screening (decontamination pass)
+# ---------------------------------------------------------------------------
+
+def doc_benchmark_contamination(sf_dir: str, every: int = 100,
+                                off: int = 50, width: int = 60):
+    """Decontamination screening: flag documents that contain any
+    "benchmark" snippet verbatim (the eval-set-leakage check a training
+    corpus needs before release — Brown et al. 2020 App. C shape). The
+    benchmark set here is deterministic: a ``width``-char substring of
+    every ``every``-th document.
+
+    Scale shape: the benchmark side is small by construction (eval sets
+    are thousands of rows, corpora billions) — collected once via a
+    pruned filtered read and ``ray.put`` broadcast; the corpus side is
+    a pure per-batch substring scan, no shuffle. Production swaps the
+    per-snippet ``in`` loop for one Aho-Corasick automaton built per
+    actor; the Ray plumbing (broadcast + stateless scan) is identical.
+    """
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    def _bench_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % every == 0))
+
+    bench = ds.map_batches(_bench_rows,
+                           batch_format="pyarrow").to_pandas()
+    snippets = [t[off:off + width] for t in bench["text"]
+                if len(t) >= off + width]
+    sn_ref = ray.put(snippets)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        sns = ray.get(sn_ref)
+        ids, hits = [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            n = sum(1 for sn in sns if sn in t)
+            ids.append(i)
+            hits.append(n)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array([int(h > 0) for h in hits],
+                                     pa.int64())})
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # weighted source-mixture sampling
 # ---------------------------------------------------------------------------
 
@@ -437,6 +485,21 @@ def corpus_mixture_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUALITY_ORACLE_SQL = {
+    "doc_benchmark_contamination": """
+        WITH bench AS (
+            SELECT substr(text, 51, 60) AS sn FROM documents
+            WHERE doc_id % 100 = 0 AND length(text) >= 110
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(SUM(CASE WHEN strpos(d.text, b.sn) > 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_hits,
+               CAST(CASE WHEN COALESCE(SUM(CASE WHEN
+                        strpos(d.text, b.sn) > 0 THEN 1 ELSE 0 END), 0)
+                        > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN bench b ON TRUE
+        GROUP BY d.doc_id
+    """,
     "doc_unigram_logprob": r"""
         WITH toks AS (
             SELECT doc_id,
