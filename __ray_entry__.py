@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": A.events_value_quantiles,
         "doc_hash_sample": A.doc_hash_sample,
         "doc_stratified_sample": A.doc_stratified_sample,
+        "doc_train_val_test_split": A.doc_train_val_test_split,
         "corpus_ngram_counts": A.corpus_ngram_counts,
         "embedding_centroids": A.embedding_centroids,
         "doc_text_normalize": A.doc_text_normalize,

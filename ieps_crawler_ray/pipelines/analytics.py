@@ -282,6 +282,32 @@ def doc_hash_sample(sf_dir: str, mod: int = 10):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def doc_train_val_test_split(sf_dir: str, val_permille: int = 100,
+                             test_permille: int = 100):
+    """Deterministic 3-way train/val/test assignment (the reproducible
+    split every training corpus needs): each doc draws a stable
+    md5-derived permille and lands in test (< test_permille), val
+    (< test+val), else train — independent of row order, partitioning
+    and engine, so re-runs and the SQL oracle agree row-for-row.
+    Embarrassingly parallel per-batch map, no shuffle."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        draws = [int(T._h64_md5(f"split:{i}") % 1000)
+                 for i in batch.column("doc_id").to_pylist()]
+        split = ["test" if d < test_permille
+                 else "val" if d < test_permille + val_permille
+                 else "train" for d in draws]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+            "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def doc_stratified_sample(sf_dir: str, per_stratum: int = 20):
     """Stratified sampling: k docs per ``lang`` stratum, selected by a
     deterministic hash order (md5(doc_id), doc_id). Scale shape: per-batch
@@ -1736,6 +1762,15 @@ ORACLE_SQL = {
         SELECT 'signup' AS stage, COUNT(*) AS n_users FROM s1
         UNION ALL SELECT 'click', COUNT(*) FROM s2
         UNION ALL SELECT 'purchase', COUNT(*) FROM s3
+    """,
+    "doc_train_val_test_split": """
+        SELECT doc_id, lang, source,
+               CASE WHEN md5_number_lower('split:' || CAST(doc_id AS
+                        VARCHAR)) % 1000 < 100 THEN 'test'
+                    WHEN md5_number_lower('split:' || CAST(doc_id AS
+                        VARCHAR)) % 1000 < 200 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
     """,
     "doc_tfidf_topterms": rf"""
         WITH toks AS (
