@@ -153,3 +153,69 @@ def test_caption_dedup_longest_caption_wins(ray_session):
     assert by_ph.loc[5, "url"] == "u3"      # longest caption wins
     assert by_ph.loc[9, "url"] == "u7"      # 'other'(5) beats 'same'(4)
     assert by_ph.loc[2, "n_copies"] == 1
+
+
+def test_unigram_logprob_hapax_closed_form(ray_session):
+    """Hapax tokens never enter the broadcast dict; their score is the
+    closed form ln(1/N). Verify totals against a local replay and that
+    the keep flag is non-vacuous both ways on the sf corpus."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from ieps_crawler_ray.functions import text as T
+    from ieps_crawler_ray.pipelines.quality import doc_unigram_logprob
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_unigram_logprob(sf).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    corpus = Counter()
+    for t in docs["text"]:
+        corpus.update(T.TOKEN_RE.findall(t.lower()))
+    n_tok = sum(corpus.values())
+
+    def lp_micro(c):
+        import numpy as np
+        return int(np.floor(np.round(np.log(c / n_tok), 9) * 1e6 + 0.5))
+
+    for _, row in docs.head(10).iterrows():
+        tf = Counter(T.TOKEN_RE.findall(row["text"].lower()))
+        want = sum(k * lp_micro(corpus[w]) for w, k in tf.items())
+        assert out.loc[row["doc_id"], "logprob_micro"] == want
+    assert 0 < out["keep"].sum() < len(out)
+
+
+def test_benchmark_contamination_planted_hits(ray_session):
+    """Every benchmark-source doc must flag itself; docs that share no
+    snippet stay clean; n_hits counts snippets, not occurrences."""
+    from ieps_crawler_ray.pipelines.quality import \
+        doc_benchmark_contamination
+
+    out = doc_benchmark_contamination("/root/testdata/sf0.001") \
+        .to_pandas().set_index("doc_id")
+    import pandas as pd
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    bench_ids = [i for i, t in zip(docs["doc_id"], docs["text"])
+                 if i % 100 == 0 and len(t) >= 110]
+    for i in bench_ids:
+        assert out.loc[i, "contaminated"] == 1  # self-hit
+    assert out["contaminated"].sum() >= len(bench_ids)
+    assert (out["contaminated"] == (out["n_hits"] > 0).astype(int)).all()
+
+
+def test_train_val_test_split_deterministic_and_complete(ray_session):
+    from ieps_crawler_ray.pipelines.analytics import \
+        doc_train_val_test_split
+
+    a = doc_train_val_test_split("/root/testdata/sf0.001").to_pandas()
+    b = doc_train_val_test_split("/root/testdata/sf0.001").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+    counts = a["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
