@@ -342,3 +342,22 @@ def test_string_labelprop_planted_components(ray_session):
     got = dict(zip(out["url"], out["cluster_id"]))
     assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
                    "x": "x", "y": "x"}
+
+
+def test_crawl_link_components_strategy_parity(ray_session):
+    """Link-graph components: the distributed string-keyed labelprop
+    path must equal the driver union-find on the same crawl world
+    (multi-hop web graph — min label propagates across the diameter)."""
+    from ieps_crawler_ray.pipelines.flagship import crawl_link_components
+
+    sf = "/root/testdata/sf0.001"
+    local = crawl_link_components(sf)
+    dist = crawl_link_components(sf, strategy="labelprop")
+    if not isinstance(local, pd.DataFrame):
+        local = local.to_pandas()
+    if not isinstance(dist, pd.DataFrame):
+        dist = dist.to_pandas()
+    pd.testing.assert_frame_equal(
+        local.sort_values("url").reset_index(drop=True),
+        dist.sort_values("url").reset_index(drop=True))
+    assert set(local["cluster_id"]).issubset(set(local["url"]))
