@@ -82,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
         "embedding_neardup": A.embedding_neardup,
         "neardup_clusters": A.neardup_clusters,
-        "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,
         "doc_exact_dedup": A.doc_exact_dedup,
         # similarity search (SQL-checked)
@@ -92,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": M.embedding_kmeans,
         "embedding_semdedup": M.embedding_semdedup,
         "knn_pq_adc": M.knn_pq_adc,
+        "corpus_bpe_learn": M.corpus_bpe_learn,
         # sampling / corpus statistics (SQL-checked)
         "doc_tfidf_topterms": A.doc_tfidf_topterms,
         # joins / windows / sketches (SQL-checked) — the hard composed
@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass) ---
         "knn_ivf": A.knn_ivf,
+        "doc_fingerprints": A.doc_fingerprints,
         "corpus_mixture_sample": Q.corpus_mixture_sample,
         "doc_pii_redact": Q.doc_pii_redact,
         "doc_simhash": A.doc_simhash,

@@ -67,6 +67,96 @@ def _pq(sf_dir: str, name: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# BPE-style tokenizer merge learning
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 5
+
+
+def corpus_bpe_learn(sf_dir: str, iterations: int = _BPE_ITERS):
+    """Distributed BPE-style tokenizer training: learn the top
+    ``iterations`` byte-pair merges over the corpus word-frequency
+    table (Sennrich et al. 2016 shape). Words are spelled as
+    space-delimited character tokens; each round counts every candidate
+    adjacent pair across the (vocab-bounded) word table, merges the
+    argmax pair (ties to the lexicographically smaller pair) and
+    rewrites the spellings.
+
+    Cross-engine contract: pair counting and merge application both use
+    DELIMITED-STRING semantics — non-overlapping ``str.count`` /
+    ``str.replace`` of ``' a b '`` — which Python and SQL REPLACE
+    implement identically (an immediately-repeated pair consumes its
+    shared delimiter, slightly conservative vs classic token-wise BPE;
+    deterministic and bit-identical in both engines, which is what the
+    oracle checks).
+
+    Scale shape: the heavy pass is ONE distributed word count
+    (vocab-bounded groupby); each merge round is a map_batches pair
+    count over the word table with a small groupby merge — the driver
+    sees only the (pair, count) table, bounded by the active pair
+    vocabulary (at 100 TB you cap candidates with the CMS sketch
+    above). Output: (iteration, pair, merged_count)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(T.TOKEN_RE.findall(t.lower()))
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    words = _part_groupby_agg(
+        ds.map_batches(word_counts, batch_format="pyarrow"),
+        ["w"], {"c": ("c", "sum")})
+
+    def spell(batch: pa.Table) -> pa.Table:
+        ss = [" " + " ".join(w) + " "
+              for w in batch.column("w").to_pylist()]
+        return pa.table({"s": pa.array(ss, pa.string()),
+                         "c": batch.column("c")})
+
+    spelled = words.map_batches(spell,
+                                batch_format="pyarrow").materialize()
+    merges = []
+    for it in range(1, iterations + 1):
+        def pair_counts(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+            pc = Counter()
+            for s_, c_ in zip(batch.column("s").to_pylist(),
+                              batch.column("c").to_pylist()):
+                toks = s_.split()
+                for a, b in set(zip(toks, toks[1:])):
+                    pat = f" {a} {b} "
+                    pc[f"{a} {b}"] += s_.count(pat) * c_
+            return pa.table({
+                "pr": pa.array(list(pc.keys()), pa.string()),
+                "n": pa.array(list(pc.values()), pa.int64())})
+
+        cnt = _part_groupby_agg(
+            spelled.map_batches(pair_counts, batch_format="pyarrow"),
+            ["pr"], {"n": ("n", "sum")}).to_pandas()
+        if not len(cnt):
+            break
+        cnt = cnt.sort_values(["n", "pr"],
+                              ascending=[False, True]).iloc[0]
+        pr, n = str(cnt["pr"]), int(cnt["n"])
+        merges.append((it, pr, n))
+        pat, rep = f" {pr} ", " " + pr.replace(" ", "") + " "
+
+        def apply(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            ss = [s_.replace(pat, rep)
+                  for s_ in batch.column("s").to_pylist()]
+            return pa.table({"s": pa.array(ss, pa.string()),
+                             "c": batch.column("c")})
+
+        spelled = spelled.map_batches(
+            apply, batch_format="pyarrow").materialize()
+    return pd.DataFrame(merges,
+                        columns=["iteration", "pair", "merged_count"])
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 
@@ -715,9 +805,56 @@ def _pq_oracle_sql(m: int = _PQ_M, k_codes: int = _PQ_K,
     """
 
 
+def _bpe_oracle_sql(iterations: int = _BPE_ITERS) -> str:
+    """Generative SQL replay of corpus_bpe_learn: the word-frequency
+    table, char spelling, and ``iterations`` chained (count -> argmax ->
+    REPLACE) rounds — the delimited-string count/replace semantics are
+    the engine's exactly (see corpus_bpe_learn docstring)."""
+    out = [r"""
+        WITH words AS MATERIALIZED (
+            SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+                FROM documents) GROUP BY w
+        ),
+        sp0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+                   || ' ' AS s, c
+            FROM words
+        )"""]
+    for i in range(1, iterations + 1):
+        out.append(f"""
+        , cand{i} AS MATERIALIZED (
+            SELECT DISTINCT arr[j] || ' ' || arr[j + 1] AS pr
+            FROM (SELECT string_split(trim(s), ' ') AS arr FROM sp{i - 1}),
+                 UNNEST(range(1, len(arr))) AS u(j)
+        ),
+        cnt{i} AS MATERIALIZED (
+            SELECT c2.pr,
+                   CAST(SUM(w.c * ((length(w.s) - length(replace(w.s,
+                        ' ' || c2.pr || ' ', '')))
+                        // length(' ' || c2.pr || ' '))) AS BIGINT) AS n
+            FROM sp{i - 1} w CROSS JOIN cand{i} c2 GROUP BY c2.pr
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT pr, n FROM cnt{i} WHERE n > 0
+            ORDER BY n DESC, pr LIMIT 1
+        ),
+        sp{i} AS MATERIALIZED (
+            SELECT replace(s, ' ' || (SELECT pr FROM m{i}) || ' ',
+                   ' ' || replace((SELECT pr FROM m{i}), ' ', '') || ' ')
+                   AS s, c
+            FROM sp{i - 1}
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS iteration, pr AS pair, n AS merged_count FROM m{i}"
+        for i in range(1, iterations + 1))
+    return "".join(out) + "\n        " + selects
+
+
 MLPREP_ORACLE_SQL = {
     "corpus_heavy_hitters_cms": _cms_oracle_sql(),
     "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_semdedup": _semdedup_oracle_sql(),
     "knn_pq_adc": _pq_oracle_sql(),
+    "corpus_bpe_learn": _bpe_oracle_sql(),
 }

@@ -137,3 +137,27 @@ def test_cms_cells_in_range():
     cells = M._cms_cells(np.array([0, 1, 2**32 - 1], dtype=np.uint64))
     assert cells.shape == (M._CMS_D, 3)
     assert (cells >= 0).all() and (cells < M._CMS_W).all()
+
+
+def test_bpe_learn_planted_merges(ray_session, tmp_path):
+    """On a corpus dominated by one word, the first merges must build
+    that word's most frequent character pairs, and each round's count
+    reflects the delimited-string semantics shared with the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines.mlprep import corpus_bpe_learn
+
+    d = tmp_path / "bpe"
+    d.mkdir()
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["the the the cat", "the the dog",
+                          "the cat sat", "the dog ran"], pa.string())})
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = corpus_bpe_learn(str(d), iterations=3)
+    assert len(out) == 3
+    # 'the' is the most frequent word: first merge must come from it
+    assert out.iloc[0]["pair"] in ("t h", "h e")
+    assert (out["merged_count"] > 0).all()
+    assert out["iteration"].tolist() == [1, 2, 3]
