@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_curation": F.image_curation,
         "image_dedup_vs_reference": F.image_dedup_vs_reference,
         "image_aspect_bucket_pack": F.image_aspect_bucket_pack,
+        "image_contrastive_negatives": F.image_contrastive_negatives,
         "image_phash_neardup": F.image_phash_neardup,
         "image_phash_clusters": F.image_phash_clusters,
         "crawl_image_diversity": F.crawl_image_diversity,
@@ -82,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
         "embedding_neardup": A.embedding_neardup,
         "neardup_clusters": A.neardup_clusters,
-        "doc_lang_id": A.doc_lang_id,
         "doc_exact_dedup": A.doc_exact_dedup,
         # similarity search (SQL-checked)
         "knn_cosine": A.knn_cosine,
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # check_contract, just not by the driver's capped pass) ---
         "knn_ivf": A.knn_ivf,
         "doc_fingerprints": A.doc_fingerprints,
+        "doc_lang_id": A.doc_lang_id,
         "corpus_mixture_sample": Q.corpus_mixture_sample,
         "doc_pii_redact": Q.doc_pii_redact,
         "doc_simhash": A.doc_simhash,

@@ -303,6 +303,25 @@ def crawl_oracle_sql(tier: str) -> dict:
         f"SELECT domain, phash "
         f"FROM read_parquet('{_X}/images.parquet') WHERE downloaded",
         "domain", "phash", "approx_distinct_phash"),
+    "image_contrastive_negatives": f"""
+        WITH m AS (
+            SELECT image_id,
+                   CAST(substr(image_id, 4) AS BIGINT) AS own
+            FROM read_parquet('{_X}/corpus.parquet')
+        ),
+        n AS (SELECT COUNT(*) AS nc FROM m),
+        d AS (
+            SELECT image_id, own, j
+            FROM m CROSS JOIN (SELECT UNNEST(range(0, 4)) AS j)
+        )
+        SELECT image_id, CAST(j AS BIGINT) AS j,
+               'img' || lpad(CAST((own + 1 +
+                   md5_number_lower('neg:' || image_id || ':'
+                                    || CAST(j AS VARCHAR))
+                   % ((SELECT nc FROM n) - 1)) % (SELECT nc FROM n)
+                   AS VARCHAR), 8, '0') AS neg_image_id
+        FROM d
+    """,
     "image_caption_dedup": f"""
         WITH im AS (
             SELECT phash, url, COALESCE(caption, '') AS cap
@@ -671,6 +690,42 @@ def crawl_image_diversity(sf_dir: str):
         .select_columns(["domain", "phash"])
     return _hll_approx_distinct(ds, "domain", "phash",
                                 "approx_distinct_phash")
+
+
+def image_contrastive_negatives(sf_dir: str, k: int = 4):
+    """Contrastive-training negative sampling (the CLIP-batch prep op):
+    for every image, draw ``k`` deterministic negative caption indices
+    via the COLLISION-FREE closed form
+    ``neg = (own + 1 + h_j % (n-1)) % n`` with ``h_j =
+    md5("neg:<image_id>:<j>")`` — never equal to ``own``, no re-draw
+    loop, reproducible across runs/partitionings/engines (the property
+    a resumable pipeline needs). Pure per-batch map over corpus
+    metadata, no shuffle; the SQL oracle replays the identical
+    arithmetic via ``md5_number_lower``."""
+    from ..functions import text as T
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    meta = build_corpus_rows(nc).select(["image_id"])
+
+    def draw(batch: pa.Table) -> pa.Table:
+        ids, js, negs = [], [], []
+        for iid in batch.column("image_id").to_pylist():
+            own = int(iid[3:])
+            for j in range(k):
+                h = T._h64_md5(f"neg:{iid}:{j}")
+                neg = (own + 1 + h % (nc - 1)) % nc
+                ids.append(iid)
+                js.append(j)
+                negs.append(f"img{neg:08d}")
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "j": pa.array(js, pa.int64()),
+            "neg_image_id": pa.array(negs, pa.string())})
+
+    return rd.from_arrow(meta).map_batches(
+        draw, batch_format="pyarrow").to_pandas() \
+        .sort_values(["image_id", "j"]).reset_index(drop=True)
 
 
 def image_caption_dedup(sf_dir: str):
