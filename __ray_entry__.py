@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_neardup": F.image_phash_neardup,
         "image_phash_clusters": F.image_phash_clusters,
         "crawl_image_diversity": F.crawl_image_diversity,
+        "crawl_host_stats": F.crawl_host_stats,
         "crawl_link_components": F.crawl_link_components,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,
@@ -84,8 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": A.embedding_neardup,
         "neardup_clusters": A.neardup_clusters,
         "doc_exact_dedup": A.doc_exact_dedup,
-        # similarity search (SQL-checked)
-        "knn_cosine": A.knn_cosine,
         # sketches / clustering / semantic dedup (round-3; SQL-checked)
         "corpus_heavy_hitters_cms": M.corpus_heavy_hitters_cms,
         "embedding_kmeans": M.embedding_kmeans,
@@ -106,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": A.user_funnel,
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass) ---
+        # similarity search brute-force baseline + IVF (same oracle
+        # family as the in-cap knn_pq_adc)
+        "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,

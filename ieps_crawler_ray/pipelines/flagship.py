@@ -282,6 +282,42 @@ def crawl_oracle_sql(tier: str) -> dict:
         SELECT node AS url, MIN(lab) AS cluster_id
         FROM reach GROUP BY node
     """,
+    "crawl_host_stats": f"""
+        WITH p AS (
+            SELECT domain, COUNT(*) AS n_pages,
+                   CAST(SUM(CASE WHEN page_type = 'HTML'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
+                   CAST(SUM(CASE WHEN page_type = 'DUPLICATE'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   CAST(SUM(CASE WHEN page_type = 'INVALID'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+                   CAST(SUM(CASE WHEN page_type = 'DISALLOWED'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_disallowed,
+                   CAST(SUM(COALESCE(load_time_ms, 0)) AS BIGINT)
+                       AS lt_sum
+            FROM read_parquet('{_X}/pages.parquet') GROUP BY domain
+        ),
+        i AS (
+            SELECT domain, COUNT(*) AS n_images,
+                   CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_img_dup,
+                   CAST(SUM(CASE WHEN downloaded THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_img_downloaded
+            FROM read_parquet('{_X}/images.parquet') GROUP BY domain
+        ),
+        d AS (
+            SELECT domain, COUNT(*) AS n_data
+            FROM read_parquet('{_X}/page_data.parquet') GROUP BY domain
+        )
+        SELECT p.domain, p.n_pages, p.n_html, p.n_dup, p.n_invalid,
+               p.n_disallowed,
+               COALESCE(i.n_images, 0) AS n_images,
+               COALESCE(i.n_img_dup, 0) AS n_img_dup,
+               COALESCE(i.n_img_downloaded, 0) AS n_img_downloaded,
+               COALESCE(d.n_data, 0) AS n_data,
+               p.lt_sum * 1000 // p.n_pages AS mean_load_ms_milli
+        FROM p LEFT JOIN i USING (domain) LEFT JOIN d USING (domain)
+    """,
     "crawl_link_components": f"""
         WITH RECURSIVE prs AS MATERIALIZED (
             SELECT from_url, to_url
@@ -504,6 +540,75 @@ def crawl_links(sf_dir: str):
     """Deduplicated link-graph edges between stored pages (K4/D5/J4)."""
     links = C.read_links(_crawled(sf_dir)).to_pandas()
     return links.sort_values(["parent_url", "url"]).reset_index(drop=True)
+
+
+def crawl_host_stats(sf_dir: str):
+    """Per-domain operational rollup (the host health table an A2-style
+    report slices): page counts by type, duplicate/invalid/disallowed
+    rates, load-time totals, image and binary-doc counts — one row per
+    domain. Scale shape: three vectorized per-batch partial aggregates
+    (pages / images / page_data), each merged by a domain-bounded
+    partition-wise groupby; the three tiny per-domain frames join on
+    the driver. Integer mean via trunc division (positive values —
+    identical in numpy and SQL)."""
+    import pandas as pd
+
+    from .analytics import _part_groupby_agg
+
+    out_dir = _crawled(sf_dir)
+
+    def page_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "domain": b["domain"],
+            "n_pages": 1,
+            "n_html": (b["page_type"] == "HTML").astype("int64"),
+            "n_dup": (b["page_type"] == "DUPLICATE").astype("int64"),
+            "n_invalid": (b["page_type"] == "INVALID").astype("int64"),
+            "n_disallowed":
+                (b["page_type"] == "DISALLOWED").astype("int64"),
+            "lt_sum": b["load_time_ms"].fillna(0).astype("int64")})
+        return g.groupby("domain", as_index=False).sum()
+
+    cols = {c: (c, "sum") for c in
+            ["n_pages", "n_html", "n_dup", "n_invalid",
+             "n_disallowed", "lt_sum"]}
+    pg = _part_groupby_agg(
+        C.read_pages(out_dir).map_batches(page_partial,
+                                          batch_format="pandas"),
+        ["domain"], cols).to_pandas()
+
+    def img_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "domain": b["domain"],
+            "n_images": 1,
+            "n_img_dup": b["is_duplicate"].astype("int64"),
+            "n_img_downloaded": b["downloaded"].astype("int64")})
+        return g.groupby("domain", as_index=False).sum()
+
+    im = _part_groupby_agg(
+        C.read_images(out_dir).map_batches(img_partial,
+                                           batch_format="pandas"),
+        ["domain"], {c: (c, "sum") for c in
+                     ["n_images", "n_img_dup", "n_img_downloaded"]}) \
+        .to_pandas()
+
+    def data_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"domain": b["domain"], "n_data": 1}) \
+            .groupby("domain", as_index=False).sum()
+
+    pdata = _part_groupby_agg(
+        C.read_page_data(out_dir).map_batches(data_partial,
+                                              batch_format="pandas"),
+        ["domain"], {"n_data": ("n_data", "sum")}).to_pandas()
+
+    out = pg.merge(im, on="domain", how="left") \
+        .merge(pdata, on="domain", how="left")
+    for c in ["n_images", "n_img_dup", "n_img_downloaded", "n_data"]:
+        out[c] = out[c].fillna(0).astype("int64")
+    out["mean_load_ms_milli"] = \
+        out["lt_sum"] * 1000 // out["n_pages"]
+    return out.drop(columns=["lt_sum"]) \
+        .sort_values("domain").reset_index(drop=True)
 
 
 def crawl_link_components(sf_dir: str, strategy: str = None):
