@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_vs_reference": F.image_dedup_vs_reference,
         "image_aspect_bucket_pack": F.image_aspect_bucket_pack,
         "image_contrastive_negatives": F.image_contrastive_negatives,
+        "image_cbir_knn": F.image_cbir_knn,
         "image_phash_neardup": F.image_phash_neardup,
         "image_phash_clusters": F.image_phash_clusters,
         "crawl_image_diversity": F.crawl_image_diversity,
@@ -87,7 +88,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": A.doc_exact_dedup,
         # sketches / clustering / semantic dedup (round-3; SQL-checked)
         "corpus_heavy_hitters_cms": M.corpus_heavy_hitters_cms,
-        "embedding_kmeans": M.embedding_kmeans,
         "embedding_semdedup": M.embedding_semdedup,
         "knn_pq_adc": M.knn_pq_adc,
         "corpus_bpe_learn": M.corpus_bpe_learn,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family as the in-cap knn_pq_adc)
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,
+        "embedding_kmeans": M.embedding_kmeans,
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,
         "corpus_mixture_sample": Q.corpus_mixture_sample,

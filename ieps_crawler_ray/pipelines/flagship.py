@@ -339,6 +339,43 @@ def crawl_oracle_sql(tier: str) -> dict:
         f"SELECT domain, phash "
         f"FROM read_parquet('{_X}/images.parquet') WHERE downloaded",
         "domain", "phash", "approx_distinct_phash"),
+    "image_cbir_knn": f"""
+        WITH lum AS (
+            SELECT image_id,
+                   LEAST((299 * r_milli + 587 * g_milli + 114 * b_milli)
+                         // 1000 // 32000, 7) AS bin
+            FROM read_parquet('{_X}/tiles_expected.parquet')
+        ),
+        h AS (SELECT image_id, bin, COUNT(*) AS n
+              FROM lum GROUP BY image_id, bin),
+        grid AS (
+            SELECT c.image_id, b.b AS bin, COALESCE(h.n, 0) AS n
+            FROM (SELECT DISTINCT image_id
+                  FROM read_parquet('{_X}/corpus.parquet')) c
+            CROSS JOIN (SELECT UNNEST(range(0, 8)) AS b) b
+            LEFT JOIN h ON h.image_id = c.image_id AND h.bin = b.b
+        ),
+        emb AS (SELECT image_id, list(n ORDER BY bin) AS e
+                FROM grid GROUP BY image_id),
+        q AS (SELECT image_id AS query_id, e AS qe FROM emb
+              WHERE CAST(substr(image_id, 4) AS BIGINT) < 5),
+        scored AS (
+            SELECT q.query_id, c.image_id AS cand_id,
+                   CAST(CAST(list_inner_product(q.qe, c.e) AS BIGINT)
+                        * CAST(list_inner_product(q.qe, c.e) AS BIGINT)
+                        * 1000000
+                        // GREATEST(CAST(list_inner_product(c.e, c.e)
+                                         AS BIGINT), 1) AS BIGINT)
+                       AS key
+            FROM q CROSS JOIN emb c
+            WHERE c.image_id <> q.query_id
+        )
+        SELECT query_id, cand_id, key,
+               CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY key DESC, cand_id) AS rn FROM scored)
+        WHERE rn <= 3
+    """,
     "image_contrastive_negatives": f"""
         WITH m AS (
             SELECT image_id,
@@ -831,6 +868,88 @@ def image_contrastive_negatives(sf_dir: str, k: int = 4):
     return rd.from_arrow(meta).map_batches(
         draw, batch_format="pyarrow").to_pandas() \
         .sort_values(["image_id", "j"]).reset_index(drop=True)
+
+
+def image_cbir_knn(sf_dir: str, k: int = 3, n_queries: int = 5):
+    """Content-based image retrieval over DECODED pixel features: each
+    image embeds as its 8-bin tile-luma histogram (from the 16x16 patch
+    grid — integer counts), queries are the first ``n_queries`` images,
+    and candidates rank by an integer-exact cosine surrogate
+    ``dot^2 * 1e6 // |c|^2`` (monotone in cos^2 for non-negative
+    vectors up to deterministic floor collisions, identical in numpy
+    and SQL; ties break to the smaller candidate id; self-matches
+    excluded).
+
+    Scale shape: tile features from the actor-pool ImageTileStage, one
+    bounded histogram groupby, the tiny query matrix broadcast via
+    ``ray.put``, per-block scoring with partial top-k — the knn_cosine
+    plan over decoded-image features. The SQL oracle recomputes
+    embeddings from the no-Ray tiles export and replays the integer
+    ranking."""
+    import ray
+
+    from ..stages.multimodal import ImageTileStage
+    from .analytics import _part_groupby_agg
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+        ImageTileStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        luma = (299 * b.column("r_milli").to_numpy()
+                + 587 * b.column("g_milli").to_numpy()
+                + 114 * b.column("b_milli").to_numpy()) // 1000
+        bin_ = np.minimum(luma // 32_000, 7).astype(np.int64)
+        df = pd.DataFrame({"image_id": b.column("image_id").to_pylist(),
+                           "bin": bin_, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["image_id", "bin"], as_index=False).sum(),
+            preserve_index=False)
+
+    hist = _part_groupby_agg(
+        tiles.map_batches(hist_partial, batch_format="pyarrow"),
+        ["image_id", "bin"], {"n": ("n", "sum")}).to_pandas()
+    emb = np.zeros((nc, 8), dtype=np.int64)
+    idx = hist["image_id"].str[3:].astype(int).to_numpy()
+    emb[idx, hist["bin"].to_numpy()] = hist["n"].to_numpy()
+    ids = [f"img{i:08d}" for i in range(nc)]
+    q_ids = ids[:n_queries]
+    Q = emb[:n_queries]
+    qref = ray.put((q_ids, Q))
+    cand = rd.from_arrow(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "emb": pa.array(emb.tolist(),
+                        pa.list_(pa.int64()))}))
+
+    def score(b: pa.Table) -> pa.Table:
+        q_ids_, Q_ = ray.get(qref)
+        C = np.stack([np.array(e, dtype=np.int64)
+                      for e in b.column("emb").to_pylist()])
+        cid = b.column("image_id").to_pylist()
+        nc2 = (C * C).sum(axis=1)  # |c|^2
+        out_q, out_c, out_key = [], [], []
+        for qi, qid in enumerate(q_ids_):
+            dot = C @ Q_[qi]
+            key = dot * dot * 1_000_000 // np.maximum(nc2, 1)
+            order = np.lexsort((cid, -key))[:k + 1]
+            for j in order:
+                if cid[j] == qid:
+                    continue
+                out_q.append(qid)
+                out_c.append(cid[j])
+                out_key.append(int(key[j]))
+        return pa.table({"query_id": pa.array(out_q, pa.string()),
+                         "cand_id": pa.array(out_c, pa.string()),
+                         "key": pa.array(out_key, pa.int64())})
+
+    parts = cand.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["query_id", "key", "cand_id"],
+                              ascending=[True, False, True])
+    top = parts.groupby("query_id", sort=False).head(k).copy()
+    top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+    return top.reset_index(drop=True)
 
 
 def image_caption_dedup(sf_dir: str):
