@@ -166,3 +166,14 @@ def simhash_band_keys(code: int, bands: int = 4) -> list:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def batch_word_counts(texts) -> dict:
+    """Per-batch word-frequency Counter over the repo's shared token
+    convention (``\\w+`` on ``lower()``) — the ONE kernel behind every
+    vocab-bounded word-count partial (unigram LM, BPE learning)."""
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        c.update(TOKEN_RE.findall(t.lower()))
+    return c

@@ -610,8 +610,9 @@ def crawl_host_stats(sf_dir: str):
             ["n_pages", "n_html", "n_dup", "n_invalid",
              "n_disallowed", "lt_sum"]}
     pg = _part_groupby_agg(
-        C.read_pages(out_dir).map_batches(page_partial,
-                                          batch_format="pandas"),
+        C.read_pages(out_dir)
+        .select_columns(["domain", "page_type", "load_time_ms"])
+        .map_batches(page_partial, batch_format="pandas"),
         ["domain"], cols).to_pandas()
 
     def img_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -623,8 +624,9 @@ def crawl_host_stats(sf_dir: str):
         return g.groupby("domain", as_index=False).sum()
 
     im = _part_groupby_agg(
-        C.read_images(out_dir).map_batches(img_partial,
-                                           batch_format="pandas"),
+        C.read_images(out_dir)
+        .select_columns(["domain", "is_duplicate", "downloaded"])
+        .map_batches(img_partial, batch_format="pandas"),
         ["domain"], {c: (c, "sum") for c in
                      ["n_images", "n_img_dup", "n_img_downloaded"]}) \
         .to_pandas()
@@ -634,8 +636,8 @@ def crawl_host_stats(sf_dir: str):
             .groupby("domain", as_index=False).sum()
 
     pdata = _part_groupby_agg(
-        C.read_page_data(out_dir).map_batches(data_partial,
-                                              batch_format="pandas"),
+        C.read_page_data(out_dir).select_columns(["domain"])
+        .map_batches(data_partial, batch_format="pandas"),
         ["domain"], {"n_data": ("n_data", "sum")}).to_pandas()
 
     out = pg.merge(im, on="domain", how="left") \

@@ -99,10 +99,7 @@ def corpus_bpe_learn(sf_dir: str, iterations: int = _BPE_ITERS):
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
     def word_counts(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        c = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(T.TOKEN_RE.findall(t.lower()))
+        c = T.batch_word_counts(batch.column("text").to_pylist())
         return pa.table({"w": pa.array(list(c.keys()), pa.string()),
                          "c": pa.array(list(c.values()), pa.int64())})
 

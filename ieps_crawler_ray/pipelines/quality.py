@@ -355,14 +355,15 @@ def doc_unigram_logprob(sf_dir: str,
     order-independent; the keep test is an integer cross-multiply
     (``sum >= threshold * n``), exact in both engines — no float
     division, no floor-vs-trunc hazard."""
+    # two passes over the same immutable parquet: re-reading is the
+    # bounded plan (materializing would pin the whole corpus text in
+    # the object store for the query's lifetime)
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "text"],
-                         override_num_blocks=16).materialize()
+                         override_num_blocks=16)
 
     def term_counts(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(T.TOKEN_RE.findall(t.lower()))
+        c = T.batch_word_counts(batch.column("text").to_pylist())
         return pa.table({"w": pa.array(list(c.keys()), pa.string()),
                          "c": pa.array(list(c.values()), pa.int64())})
 
