@@ -219,3 +219,59 @@ def test_train_val_test_split_deterministic_and_complete(ray_session):
     counts = a["split"].value_counts()
     assert set(counts.index) == {"train", "val", "test"}
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def _tiny_docs_dir(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_unigram_logprob_empty_and_single_token_docs(ray_session,
+                                                     tmp_path):
+    from ieps_crawler_ray.pipelines.quality import doc_unigram_logprob
+
+    sf = _tiny_docs_dir(tmp_path, ["", "word", "word word", "   "])
+    out = doc_unigram_logprob(sf).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 0
+    assert out.loc[0, "logprob_micro"] == 0
+    assert out.loc[0, "keep"] == 1  # 0 >= threshold*0
+    assert out.loc[3, "n_tokens"] == 0
+    # 'word' appears 3x in a 3-token corpus: logprob = ln(1) = 0
+    assert out.loc[1, "logprob_micro"] == 0
+    assert out.loc[2, "logprob_micro"] == 0
+
+
+def test_bpe_learn_exhausts_merges_gracefully(ray_session, tmp_path):
+    """A corpus whose spellings collapse before `iterations` rounds must
+    return fewer merges, not raise or emit zero-count merges."""
+    from ieps_crawler_ray.pipelines.mlprep import corpus_bpe_learn
+
+    sf = _tiny_docs_dir(tmp_path, ["ab ab", "ab"])
+    out = corpus_bpe_learn(sf, iterations=5)
+    # 'ab' has exactly one pair to merge; afterwards no pairs remain
+    assert len(out) == 1
+    assert out.iloc[0]["pair"] == "a b"
+    # frequency-weighted: the word 'ab' occurs 3 times corpus-wide
+    assert out.iloc[0]["merged_count"] == 3
+
+
+def test_contamination_short_docs_no_bench(ray_session, tmp_path):
+    """A corpus too short to yield any benchmark snippet: all clean."""
+    from ieps_crawler_ray.pipelines.quality import \
+        doc_benchmark_contamination
+
+    sf = _tiny_docs_dir(tmp_path, ["short doc", "another short"])
+    out = doc_benchmark_contamination(sf).to_pandas()
+    assert (out["n_hits"] == 0).all()
+    assert (out["contaminated"] == 0).all()
