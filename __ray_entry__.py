@@ -77,12 +77,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": Q.doc_gopher_quality,
         "doc_unigram_logprob": Q.doc_unigram_logprob,
         "doc_dup_ngram_spans": Q.doc_dup_ngram_spans,
+        "doc_ngram_novelty": Q.doc_ngram_novelty,
         "doc_pack_sequences": Q.doc_pack_sequences,
         "doc_benchmark_contamination": Q.doc_benchmark_contamination,
         # dedup / fingerprints / language (SQL-checked)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
         "simhash_neardup": A.simhash_neardup,
-        "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
         "embedding_neardup": A.embedding_neardup,
         "neardup_clusters": A.neardup_clusters,
         "doc_exact_dedup": A.doc_exact_dedup,
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,
         "embedding_kmeans": M.embedding_kmeans,
+        "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,
         "corpus_mixture_sample": Q.corpus_mixture_sample,

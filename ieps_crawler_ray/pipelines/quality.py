@@ -330,6 +330,61 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
 
 
 # ---------------------------------------------------------------------------
+# ordered n-gram novelty (first-claim analysis)
+# ---------------------------------------------------------------------------
+
+def doc_ngram_novelty(sf_dir: str, n: int = 8):
+    """Ordered corpus novelty: for each document, how many of its word
+    ``n``-grams it is the FIRST (min doc_id) to contribute — the
+    incremental-information measure an ordered ingestion pipeline uses
+    to drop late all-duplicate documents. Same exchange as
+    ``doc_dup_ngram_spans`` ((gram_md5, doc, c) rows, never text); the
+    first-claim mark is a partitioned min-transform on the gram key —
+    no driver structure at any scale (a gram's claimants are co-
+    partitioned by construction)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gh, did, cnt = [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = T.TOKEN_RE.findall(t)
+            c = Counter(" ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1))
+            for g, k in c.items():
+                gh.append(hashlib.md5(
+                    g.encode("utf-8", "surrogatepass")).hexdigest())
+                did.append(i)
+                cnt.append(k)
+            gh.append(f"s{i}")   # sentinel keeps short docs in output
+            did.append(i)
+            cnt.append(0)
+        return pa.table({"gh": pa.array(gh, pa.string()),
+                         "doc_id": pa.array(did, pa.int64()),
+                         "c": pa.array(cnt, pa.int64())})
+
+    from .analytics import _part_apply, _part_groupby_agg
+
+    def mark_first(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("gh", sort=False)["doc_id"].transform("min")
+        out = g[["doc_id", "c"]].copy()
+        out["novel_c"] = np.where(g["doc_id"] == first, g["c"], 0)
+        return out
+
+    marked = _part_apply(ds.map_batches(explode, batch_format="pyarrow"),
+                         ["gh"], mark_first)
+    agg = _part_groupby_agg(marked, ["doc_id"],
+                            {"n_grams": ("c", "sum"),
+                             "novel_c": ("novel_c", "sum")}).to_pandas()
+    agg["novel_ppm"] = agg["novel_c"] * 1_000_000 \
+        // agg["n_grams"].clip(lower=1)
+    return agg.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"n_grams": "int64", "novel_c": "int64",
+                 "novel_ppm": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # unigram-LM log-probability scoring (CCNet-style perplexity filter)
 # ---------------------------------------------------------------------------
 
@@ -560,6 +615,29 @@ QUALITY_ORACLE_SQL = {
                                * 1e6 + 0.5) / 1e6 END AS mean_word_len
         FROM d LEFT JOIN wagg w USING (doc_id)
                LEFT JOIN tagg t USING (doc_id)
+    """,
+    "doc_ngram_novelty": r"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id,
+                     array_to_string(
+                         ws[CAST(i AS BIGINT):CAST(i AS BIGINT)+7],
+                         ' ') AS gram
+              FROM d, UNNEST(range(1, len(ws)-6)) AS t(i)),
+        c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g
+              GROUP BY doc_id, gram),
+        f AS (SELECT gram, MIN(doc_id) AS m FROM c GROUP BY gram),
+        s AS (SELECT c.doc_id, SUM(c.c) AS n_grams,
+                     SUM(CASE WHEN f.m = c.doc_id THEN c.c ELSE 0 END)
+                         AS novel_c
+              FROM c JOIN f USING (gram) GROUP BY c.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.novel_c, 0) AS BIGINT) AS novel_c,
+               CAST(COALESCE(s.novel_c, 0) * 1000000
+                    // GREATEST(COALESCE(s.n_grams, 0), 1) AS BIGINT)
+                   AS novel_ppm
+        FROM d LEFT JOIN s USING (doc_id)
     """,
     "doc_dup_ngram_spans": r"""
         WITH d AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS ws
