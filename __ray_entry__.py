@@ -99,9 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates
         "orders_semijoin_bloom": A.orders_semijoin_bloom,
         "events_asof_join": A.events_asof_join,
-        "events_range_join": A.events_range_join,
         "events_distinct_users_hll": A.events_distinct_users_hll,
         "events_value_quantile_sketch": A.events_value_quantile_sketch,
+        "events_retention_cohorts": A.events_retention_cohorts,
         "user_funnel": A.user_funnel,
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass) ---
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": A.knn_ivf,
         "embedding_kmeans": M.embedding_kmeans,
         "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
+        "events_range_join": A.events_range_join,
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,
         "corpus_mixture_sample": Q.corpus_mixture_sample,

@@ -1582,6 +1582,17 @@ ORACLE_SQL = {
                    AS p99_cents
         FROM cum GROUP BY event_type
     """,
+    "events_retention_cohorts": """
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS d
+                   FROM events),
+        u AS (SELECT user_id, MIN(d) AS cd FROM e GROUP BY user_id),
+        x AS (SELECT DISTINCT e.user_id, u.cd, e.d - u.cd AS off
+              FROM e JOIN u USING (user_id))
+        SELECT cd AS cohort_day, off AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM x GROUP BY cd, off
+    """,
     "events_top_users_per_type": """
         SELECT event_type, user_id, total_cents, rank FROM (
             SELECT event_type, user_id, total_cents,
@@ -1947,6 +1958,34 @@ def revenue_by_orderpriority(sf_dir: str):
         Sum("rev", alias_name="revenue")).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out[["o_orderpriority", "n_items", "revenue"]]
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Retention cohort table: users grouped by their first-activity
+    day (cohort), counted at each day offset they return on — the
+    standard growth-analytics rollup. Two bounded exchanges: (1)
+    hash-partition on user, one vectorized min-transform per partition
+    assigns each event its user's cohort day and emits DISTINCT
+    (user, cohort, offset) rows; (2) a (cohort, offset)-bounded count.
+    Days are integer epoch-day arithmetic — exact in both engines."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        d = b.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"user_id": b.column("user_id"),
+                         "d": pa.array(d, pa.int64())})
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        cd = g.groupby("user_id", sort=False)["d"].transform("min")
+        out = pd.DataFrame({"user_id": g["user_id"], "cohort_day": cd,
+                            "day_offset": g["d"] - cd})
+        return out.drop_duplicates()
+
+    x = _part_apply(ev.map_batches(to_day, batch_format="pyarrow"),
+                    ["user_id"], cohortize)
+    return _part_groupby_agg(x, ["cohort_day", "day_offset"],
+                             {"n_users": ("user_id", "size")})
 
 
 def events_top_users_per_type(sf_dir: str, k: int = 5):
