@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": A.events_range_join,
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,
+        "events_type_cooccurrence": A.events_type_cooccurrence,
         "corpus_mixture_sample": Q.corpus_mixture_sample,
         "doc_pii_redact": Q.doc_pii_redact,
         "doc_simhash": A.doc_simhash,

@@ -1582,6 +1582,14 @@ ORACLE_SQL = {
                    AS p99_cents
         FROM cum GROUP BY event_type
     """,
+    "events_type_cooccurrence": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    """,
     "events_retention_cohorts": """
         WITH e AS (SELECT user_id,
                           epoch_us(ts) // 86400000000 AS d
@@ -1958,6 +1966,31 @@ def revenue_by_orderpriority(sf_dir: str):
         Sum("rev", alias_name="revenue")).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out[["o_orderpriority", "n_items", "revenue"]]
+
+
+def events_type_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence: for every unordered type pair (a < b),
+    how many users produced both — the association signal behind
+    recommender/affinity features. Shape: distinct (user, type) rows,
+    then a WITHIN-PARTITION self-merge on user (every user's rows are
+    co-partitioned by the ``_part_apply`` exchange, so the pair explode
+    is one vectorized pandas merge per partition — never a global
+    self-join), then a types²-bounded count."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    ut = _distinct_rows(ev, ["user_id", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return m.rename(columns={"event_type_x": "type_a",
+                                 "event_type_y": "type_b"}) \
+            [["type_a", "type_b"]].assign(n=1) \
+            .groupby(["type_a", "type_b"], as_index=False).sum()
+
+    return _part_apply(ut, ["user_id"], pairs) \
+        .groupby(["type_a", "type_b"]).aggregate(
+            Sum("n", alias_name="n_users"))
 
 
 def events_retention_cohorts(sf_dir: str):
