@@ -1582,6 +1582,17 @@ ORACLE_SQL = {
                    AS p99_cents
         FROM cum GROUP BY event_type
     """,
+    "events_markov_transitions": """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM events)
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM o WHERE nxt IS NOT NULL
+        GROUP BY from_type, to_type
+    """,
     "events_type_cooccurrence": """
         WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
         SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -1966,6 +1977,31 @@ def revenue_by_orderpriority(sf_dir: str):
         Sum("rev", alias_name="revenue")).to_pandas()
     out["revenue"] = out["revenue"].round(2)
     return out[["o_orderpriority", "n_items", "revenue"]]
+
+
+def events_markov_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov/sequence-model
+    prep table): for each consecutive event pair in a user's timeline
+    (ordered by ts, ties by event_id), count (from_type -> to_type).
+    Hash-partitioned on user; within each partition ONE sort + shifted
+    compare covers all users vectorized; the final count is
+    types²-bounded."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        same = g["user_id"].eq(g["user_id"].shift(-1))
+        out = pd.DataFrame({
+            "from_type": g["event_type"],
+            "to_type": g["event_type"].shift(-1)})[same.to_numpy()]
+        return out.assign(n=1).groupby(["from_type", "to_type"],
+                                       as_index=False).sum()
+
+    return _part_apply(ev, ["user_id"], trans) \
+        .groupby(["from_type", "to_type"]).aggregate(
+            Sum("n", alias_name="n_transitions"))
 
 
 def events_type_cooccurrence(sf_dir: str):
