@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / fingerprints / language (SQL-checked)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
         "simhash_neardup": A.simhash_neardup,
+        "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
         "embedding_neardup": A.embedding_neardup,
         "neardup_clusters": A.neardup_clusters,
         "doc_exact_dedup": A.doc_exact_dedup,
@@ -101,7 +102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": A.events_asof_join,
         "events_distinct_users_hll": A.events_distinct_users_hll,
         "events_value_quantile_sketch": A.events_value_quantile_sketch,
-        "events_retention_cohorts": A.events_retention_cohorts,
         "user_funnel": A.user_funnel,
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass) ---
@@ -110,7 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": A.knn_cosine,
         "knn_ivf": A.knn_ivf,
         "embedding_kmeans": M.embedding_kmeans,
-        "ngram_jaccard_neardup": A.ngram_jaccard_neardup,
+        "events_retention_cohorts": A.events_retention_cohorts,
         "events_range_join": A.events_range_join,
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,

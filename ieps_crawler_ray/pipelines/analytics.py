@@ -2014,9 +2014,11 @@ def events_type_cooccurrence(sf_dir: str):
     self-join), then a types²-bounded count."""
     ev = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "event_type"])
-    ut = _distinct_rows(ev, ["user_id", "event_type"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # per-partition distinct == global distinct (all of a user's
+        # rows are co-partitioned), so ONE exchange covers dedup + pairs
+        g = g.drop_duplicates(["user_id", "event_type"])
         m = g.merge(g, on="user_id")
         m = m[m["event_type_x"] < m["event_type_y"]]
         return m.rename(columns={"event_type_x": "type_a",
@@ -2024,7 +2026,7 @@ def events_type_cooccurrence(sf_dir: str):
             [["type_a", "type_b"]].assign(n=1) \
             .groupby(["type_a", "type_b"], as_index=False).sum()
 
-    return _part_apply(ut, ["user_id"], pairs) \
+    return _part_apply(ev, ["user_id"], pairs) \
         .groupby(["type_a", "type_b"]).aggregate(
             Sum("n", alias_name="n_users"))
 

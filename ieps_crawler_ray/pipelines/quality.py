@@ -120,23 +120,11 @@ def doc_gopher_quality(sf_dir: str):
 _DUP_SET_LIMIT_ROWS = 2_000_000
 
 
-def doc_dup_ngram_spans(sf_dir: str, n: int = 8):
-    """For each document: how many of its word ``n``-grams occur more
-    than once in the WHOLE corpus (duplicated training spans; the
-    shuffle-based analog of Lee et al.'s suffix-array dedup).
-
-    Scale shape: the explode stage pre-aggregates per batch to
-    ``(gram_md5, doc_id, c)`` rows — the shuffle carries one row per
-    distinct (gram, doc) pair, never text. Corpus totals come from ONE
-    builtin vectorized ``groupby(gh).Sum``; the duplicated-key set is
-    then either broadcast (``ray.put`` once, read per task) when small,
-    or, above ``_DUP_SET_LIMIT_ROWS``, the mark happens inside a
-    partitioned ``groupby(gh).map_groups`` pass instead (no driver
-    structure). A unique per-doc sentinel key (c=0) keeps empty/short
-    docs in the output without a join against the documents table."""
-    ds = rd.read_parquet(_pq(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
-
+def _gram_explode(n: int):
+    """Shared (gram_md5, doc_id, c) explode kernel for the corpus
+    n-gram operators (dup spans, novelty): ONE statement of the
+    tokenizer / join / md5-surrogatepass / per-doc sentinel contract
+    both SQL oracles replay."""
     def explode(batch: pa.Table) -> pa.Table:
         gh, did, cnt = [], [], []
         for i, t in zip(batch.column("doc_id").to_pylist(),
@@ -157,6 +145,27 @@ def doc_dup_ngram_spans(sf_dir: str, n: int = 8):
         return pa.table({"gh": pa.array(gh, pa.string()),
                          "doc_id": pa.array(did, pa.int64()),
                          "c": pa.array(cnt, pa.int64())})
+    return explode
+
+
+def doc_dup_ngram_spans(sf_dir: str, n: int = 8):
+    """For each document: how many of its word ``n``-grams occur more
+    than once in the WHOLE corpus (duplicated training spans; the
+    shuffle-based analog of Lee et al.'s suffix-array dedup).
+
+    Scale shape: the explode stage pre-aggregates per batch to
+    ``(gram_md5, doc_id, c)`` rows — the shuffle carries one row per
+    distinct (gram, doc) pair, never text. Corpus totals come from ONE
+    builtin vectorized ``groupby(gh).Sum``; the duplicated-key set is
+    then either broadcast (``ray.put`` once, read per task) when small,
+    or, above ``_DUP_SET_LIMIT_ROWS``, the mark happens inside a
+    partitioned ``groupby(gh).map_groups`` pass instead (no driver
+    structure). A unique per-doc sentinel key (c=0) keeps empty/short
+    docs in the output without a join against the documents table."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    explode = _gram_explode(n)
 
     # materialized once: both the totals pass and the mark pass read it
     # (object-store blocks, spillable) — without this the text re-explodes
@@ -345,25 +354,6 @@ def doc_ngram_novelty(sf_dir: str, n: int = 8):
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        gh, did, cnt = [], [], []
-        for i, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            toks = T.TOKEN_RE.findall(t)
-            c = Counter(" ".join(toks[j:j + n])
-                        for j in range(len(toks) - n + 1))
-            for g, k in c.items():
-                gh.append(hashlib.md5(
-                    g.encode("utf-8", "surrogatepass")).hexdigest())
-                did.append(i)
-                cnt.append(k)
-            gh.append(f"s{i}")   # sentinel keeps short docs in output
-            did.append(i)
-            cnt.append(0)
-        return pa.table({"gh": pa.array(gh, pa.string()),
-                         "doc_id": pa.array(did, pa.int64()),
-                         "c": pa.array(cnt, pa.int64())})
-
     from .analytics import _part_apply, _part_groupby_agg
 
     def mark_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -372,16 +362,22 @@ def doc_ngram_novelty(sf_dir: str, n: int = 8):
         out["novel_c"] = np.where(g["doc_id"] == first, g["c"], 0)
         return out
 
-    marked = _part_apply(ds.map_batches(explode, batch_format="pyarrow"),
-                         ["gh"], mark_first)
-    agg = _part_groupby_agg(marked, ["doc_id"],
-                            {"n_grams": ("c", "sum"),
-                             "novel_c": ("novel_c", "sum")}).to_pandas()
-    agg["novel_ppm"] = agg["novel_c"] * 1_000_000 \
-        // agg["n_grams"].clip(lower=1)
-    return agg.sort_values("doc_id").reset_index(drop=True) \
-        .astype({"n_grams": "int64", "novel_c": "int64",
-                 "novel_ppm": "int64"})
+    marked = _part_apply(
+        ds.map_batches(_gram_explode(n), batch_format="pyarrow"),
+        ["gh"], mark_first)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.astype({"n_grams": "int64", "novel_c": "int64"})
+        b["novel_ppm"] = b["novel_c"] * 1_000_000 \
+            // b["n_grams"].clip(lower=1)
+        return b
+
+    # stays a Dataset end-to-end: the per-doc aggregate is unbounded at
+    # corpus scale, so the ratio column is a distributed finish stage
+    return _part_groupby_agg(marked, ["doc_id"],
+                             {"n_grams": ("c", "sum"),
+                              "novel_c": ("novel_c", "sum")}) \
+        .map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
