@@ -311,3 +311,34 @@ def test_image_aspect_bucket_pack_invariant_and_exact(ray_session):
         assert expect[row["image_id"]] == (
             row["bucket_milli"], row["pixels"],
             row["start_px"], row["batch_idx"])
+
+
+def test_quality_features_flip_invariant():
+    """Luma/contrast/blur are permutation-sums — horizontal flip must
+    not change any of them (the augment pipeline relies on scoring
+    being orientation-free)."""
+    from ieps_crawler_ray.stages.multimodal import quality_features
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    assert quality_features(img) == quality_features(img[:, ::-1])
+    assert quality_features(img) == quality_features(img[::-1, :])
+
+
+def test_tile_means_consistent_with_crop_mean():
+    """Sum of per-tile channel means equals the covered crop's channel
+    sum (up to the x1000 floor per tile) — the tile kernel loses no
+    mass inside the grid."""
+    from ieps_crawler_ray.stages.multimodal import tile_grid_features
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    tiles = tile_grid_features(img, tile=16)
+    # exact: tile means are (sum*1000)//256 with 256 | 1000*sum ⇔ check
+    # via reconstruction bound instead: each tile mean differs from the
+    # true mean by < 1/1000
+    for ty, tx, r, g, b in tiles:
+        crop = img[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+        for ch, got in ((0, r), (1, g), (2, b)):
+            true = int(crop[..., ch].astype(np.int64).sum()) * 1000 // 256
+            assert got == true
