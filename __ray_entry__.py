@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": A.doc_fingerprints,
         "doc_lang_id": A.doc_lang_id,
         "events_type_cooccurrence": A.events_type_cooccurrence,
+        "corpus_summary_stats": Q.corpus_summary_stats,
         "events_markov_transitions": A.events_markov_transitions,
         "corpus_mixture_sample": Q.corpus_mixture_sample,
         "doc_pii_redact": Q.doc_pii_redact,

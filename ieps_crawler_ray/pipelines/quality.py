@@ -339,6 +339,42 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
 
 
 # ---------------------------------------------------------------------------
+# dataset-card summary statistics
+# ---------------------------------------------------------------------------
+
+def corpus_summary_stats(sf_dir: str):
+    """The dataset-card header table: one row per (lang, source) slice
+    with doc/token/char counts and integer-milli mean lengths — the
+    first thing a corpus release documents. One pruned read, per-batch
+    partials, a slice-bounded merge; integer trunc-division means
+    (identical in both engines)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["lang", "source", "text", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [len(T.TOKEN_RE.findall(t)) for t in b["text"]]
+        return pd.DataFrame({
+            "lang": b["lang"], "source": b["source"],
+            "n_docs": 1, "n_tokens": toks,
+            "n_chars": b["n_chars"].astype("int64")}) \
+            .groupby(["lang", "source"], as_index=False).sum()
+
+    from .analytics import _part_groupby_agg
+
+    agg = _part_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "source"],
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum"),
+         "n_chars": ("n_chars", "sum")}).to_pandas()
+    agg["mean_tokens_milli"] = agg["n_tokens"] * 1000 // agg["n_docs"]
+    agg["mean_chars_milli"] = agg["n_chars"] * 1000 // agg["n_docs"]
+    return agg.sort_values(["lang", "source"]).reset_index(drop=True) \
+        .astype({c: "int64" for c in
+                 ["n_docs", "n_tokens", "n_chars",
+                  "mean_tokens_milli", "mean_chars_milli"]})
+
+
+# ---------------------------------------------------------------------------
 # ordered n-gram novelty (first-claim analysis)
 # ---------------------------------------------------------------------------
 
@@ -611,6 +647,18 @@ QUALITY_ORACLE_SQL = {
                                * 1e6 + 0.5) / 1e6 END AS mean_word_len
         FROM d LEFT JOIN wagg w USING (doc_id)
                LEFT JOIN tagg t USING (doc_id)
+    """,
+    "corpus_summary_stats": r"""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(regexp_extract_all(text, '\w+')))
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(LEN(regexp_extract_all(text, '\w+'))) * 1000
+                    // COUNT(*) AS BIGINT) AS mean_tokens_milli,
+               CAST(SUM(n_chars) * 1000 // COUNT(*) AS BIGINT)
+                   AS mean_chars_milli
+        FROM documents GROUP BY lang, source
     """,
     "doc_ngram_novelty": r"""
         WITH d AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS ws
