@@ -2130,14 +2130,23 @@ def knn_ivf(sf_dir: str, k: int = 3, n_queries: int = 5,
     With n_probe == n_list the result is exact (same oracle as
     knn_cosine); production at 10^10 rows uses n_probe << n_list so each
     query touches a small fraction of the lists."""
-    import pyarrow.dataset as pads
-
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    # k-means training sample: a bounded LIMIT read, not the full table
-    # (at 10^10 rows the coarse quantizer trains on a tiny fraction)
-    sample = pads.dataset(_pq(sf_dir, "embeddings"), format="parquet") \
-        .head(50_000, columns=["vec_id", "embedding"]).to_pandas()
+    # k-means training sample: deterministic hash-filter (the
+    # doc_hash_sample pattern) — the keep test is a pure function of
+    # vec_id, so the sample is position-independent (a first-blocks
+    # LIMIT read would bias the quantizer toward whatever the leading
+    # row-groups contain). Rate sized from the (metadata-cheap) count
+    # so the driver holds ~50k rows at any n.
+    rate = max(1, ds.count() // 50_000)
+
+    def keep_sample(batch: pa.Table) -> pa.Table:
+        keep = [T._h64_md5(f"ivf:{v}") % rate == 0
+                for v in batch.column("vec_id").to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    sample = ds.map_batches(keep_sample,
+                            batch_format="pyarrow").to_pandas()
     M = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     M = M / np.linalg.norm(M, axis=1, keepdims=True)
 
@@ -2153,7 +2162,10 @@ def knn_ivf(sf_dir: str, k: int = 3, n_queries: int = 5,
                 cent[c] = v / (np.linalg.norm(v) or 1.0)
     cent_ref = ray.put(cent)
 
-    qdf = sample[sample["vec_id"] < n_queries].sort_values("vec_id")
+    # query rows come from a direct filter, not the sample (the hash
+    # sample has no reason to contain them at rate > 1)
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas() \
+        .sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ids = qdf["vec_id"].to_numpy()

@@ -883,15 +883,18 @@ def image_cbir_knn(sf_dir: str, k: int = 3, n_queries: int = 5):
     excluded).
 
     Scale shape: tile features from the actor-pool ImageTileStage, one
-    bounded histogram groupby, the tiny query matrix broadcast via
-    ``ray.put``, per-block scoring with partial top-k — the knn_cosine
-    plan over decoded-image features. The SQL oracle recomputes
-    embeddings from the no-Ray tiles export and replays the integer
-    ranking."""
+    bounded histogram groupby, embeddings pivoted PER PARTITION (the
+    (image_id, bin, n) rows stay a Dataset — ``_part_apply`` on
+    image_id co-locates each image's ≤8 rows, so no full-table
+    ``to_pandas``), the tiny query matrix (only the ``n_queries``
+    query rows ever reach the driver) broadcast via ``ray.put``,
+    per-block scoring with partial top-k — the knn_cosine plan over
+    decoded-image features. The SQL oracle recomputes embeddings from
+    the no-Ray tiles export and replays the integer ranking."""
     import ray
 
     from ..stages.multimodal import ImageTileStage
-    from .analytics import _part_groupby_agg
+    from .analytics import _part_apply, _part_groupby_agg
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
@@ -912,18 +915,28 @@ def image_cbir_knn(sf_dir: str, k: int = 3, n_queries: int = 5):
 
     hist = _part_groupby_agg(
         tiles.map_batches(hist_partial, batch_format="pyarrow"),
-        ["image_id", "bin"], {"n": ("n", "sum")}).to_pandas()
-    emb = np.zeros((nc, 8), dtype=np.int64)
-    idx = hist["image_id"].str[3:].astype(int).to_numpy()
-    emb[idx, hist["bin"].to_numpy()] = hist["n"].to_numpy()
-    ids = [f"img{i:08d}" for i in range(nc)]
-    q_ids = ids[:n_queries]
-    Q = emb[:n_queries]
+        ["image_id", "bin"], {"n": ("n", "sum")}).materialize()
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        # per-partition pivot: each image's ≤8 (bin, n) rows → one emb
+        ids_, embs = [], []
+        for iid, gg in g.groupby("image_id", sort=False):
+            e = np.zeros(8, dtype=np.int64)
+            e[gg["bin"].to_numpy()] = gg["n"].to_numpy()
+            ids_.append(iid)
+            embs.append(e.tolist())
+        return pd.DataFrame({"image_id": ids_, "emb": embs})
+
+    cand = _part_apply(hist, ["image_id"], pivot)
+    # only the query rows reach the driver (n_queries × 8 ints); the
+    # fixed-width zero-padded ids make the prefix filter exact
+    q_ids = [f"img{i:08d}" for i in range(n_queries)]
+    qh = hist.filter(
+        expr=f"image_id < 'img{n_queries:08d}'").to_pandas()
+    Q = np.zeros((n_queries, 8), dtype=np.int64)
+    Q[qh["image_id"].str[3:].astype(int).to_numpy(),
+      qh["bin"].to_numpy()] = qh["n"].to_numpy()
     qref = ray.put((q_ids, Q))
-    cand = rd.from_arrow(pa.table({
-        "image_id": pa.array(ids, pa.string()),
-        "emb": pa.array(emb.tolist(),
-                        pa.list_(pa.int64()))}))
 
     def score(b: pa.Table) -> pa.Table:
         q_ids_, Q_ = ray.get(qref)

@@ -7,8 +7,10 @@ semantic deduplication.
   ONLY global state: per-batch counts are folded into a fixed d×w
   counter grid (d=4 rows, w=2048 cells — 8 KiB regardless of corpus
   size), merged with one bounded groupby, and broadcast back for the
-  estimate pass. Candidates are the distinct bigrams (vocab-bounded
-  exchange, the same boundedness argument as ``corpus_ngram_counts``).
+  estimate pass. Candidates are each block's LOCAL distinct bigrams —
+  probed in place against the broadcast sketch with a per-block top-k,
+  so no token-keyed exchange ever happens (driver merges ≤ blocks×k
+  rows; see the function docstring for the equivalence proof).
   Output: top-k bigrams by ESTIMATED count (CMS overestimates on
   collisions are part of the semantics; the SQL oracle recomputes the
   identical cell sums, so estimates match bit-exactly — all arithmetic
@@ -59,7 +61,7 @@ import ray
 import ray.data as rd
 
 from ..functions import text as T
-from .analytics import _distinct_rows, _part_apply, _part_groupby_agg
+from .analytics import _part_apply, _part_groupby_agg
 
 
 def _pq(sf_dir: str, name: str) -> str:
@@ -188,11 +190,17 @@ def corpus_heavy_hitters_cms(sf_dir: str, top_k: int = _CMS_TOPK):
     folded into local d×w grids, emitted as (row, cell, n) partials and
     merged by one bounded groupby (≤ d·w = 8192 groups — the exchange
     never carries tokens); the merged 8 KiB sketch is ``ray.put`` once.
-    (2) distinct bigrams (vocab-bounded) probe the broadcast sketch:
-    estimate = min over d rows of the hashed cell. Top-k by (est desc,
-    token asc) — ties break on the raw byte order both engines share
-    for ASCII. Key = low 32 bits of ``md5_number_lower`` so the SQL
-    oracle rebuilds identical cells in BIGINT arithmetic."""
+    (2) each block probes its LOCAL distinct bigrams against the
+    broadcast sketch and emits only its top-k — no global distinct
+    shuffle of the bigram vocabulary. Equivalence: ``estimate(token)``
+    is a pure function of the broadcast sketch, so a token has the same
+    estimate in every block; a global top-k member outranks all but
+    < k tokens corpus-wide, hence outranks all but < k tokens in ANY
+    block it appears in and survives that block's top-k. The driver
+    dedupes the ≤ blocks×k union and takes the final top-k. Top-k by
+    (est desc, token asc) — ties break on the raw byte order both
+    engines share for ASCII. Key = low 32 bits of ``md5_number_lower``
+    so the SQL oracle rebuilds identical cells in BIGINT arithmetic."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
     def grid_partial(batch: pa.Table) -> pa.Table:
@@ -223,33 +231,30 @@ def corpus_heavy_hitters_cms(sf_dir: str, top_k: int = _CMS_TOPK):
     sketch[merged["row"], merged["cell"]] = merged["n"]
     sk_ref = ray.put(sketch)
 
-    def distinct_partial(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for t in batch.column("text").to_pylist():
-            seen.update(_bigrams(t))
-        return pa.table({"token": pa.array(sorted(seen), pa.string())})
-
-    cand = _distinct_rows(
-        ds.map_batches(distinct_partial, batch_format="pyarrow"), ["token"])
-
-    def estimate(batch: pd.DataFrame) -> pd.DataFrame:
+    def probe_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        # local distinct → probe broadcast sketch → per-block top-k.
         sk = ray.get(sk_ref)
-        if not len(batch):
+        seen = set()
+        for t in batch["text"]:
+            seen.update(_bigrams(t))
+        if not seen:
             return pd.DataFrame({"token": pd.Series(dtype=object),
                                  "est": pd.Series(dtype="int64")})
-        keys = np.array([T._h64_md5(s) % (1 << 32) for s in batch["token"]],
+        toks = sorted(seen)
+        keys = np.array([T._h64_md5(s) % (1 << 32) for s in toks],
                         dtype=np.uint64)
         cells = _cms_cells(keys)
         ests = np.min(
             np.stack([sk[j, cells[j]] for j in range(_CMS_D)]), axis=0)
-        # per-batch partial top-k: global top-k ⊆ union of block top-ks
-        out = pd.DataFrame({"token": batch["token"].to_numpy(),
+        out = pd.DataFrame({"token": np.array(toks, dtype=object),
                             "est": ests.astype(np.int64)})
         return out.sort_values(["est", "token"],
                                ascending=[False, True]).head(top_k)
 
-    parts = cand.map_batches(estimate, batch_format="pandas").to_pandas()
-    return parts.sort_values(["est", "token"], ascending=[False, True]) \
+    parts = ds.map_batches(probe_topk, batch_format="pandas").to_pandas()
+    # ≤ blocks×k rows: dedupe tokens (same est everywhere), final top-k
+    return parts.drop_duplicates("token") \
+        .sort_values(["est", "token"], ascending=[False, True]) \
         .head(top_k).reset_index(drop=True)
 
 
