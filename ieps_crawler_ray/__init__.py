@@ -19,3 +19,32 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _install_empty_split_log_filter() -> None:
+    """Suppress Ray Data's schema-divergence warning for the one case
+    that is structurally benign: a ZERO-COLUMN empty bundle following a
+    real one. Ray's sort-based groupby exchange normalizes blocks to
+    pandas and builds empty range splits (duplicate sampled boundaries
+    when key cardinality < block count) as column-less frames; Ray
+    itself treats the reverse direction (empty old schema → real new
+    schema) as benign and skips the warning
+    (ray/data/_internal/execution/streaming_executor_state.py:783-793,
+    block.py:_is_empty_schema). We cannot give those splits their
+    schema from user code — they are produced inside the sort — so we
+    filter exactly that message shape and nothing else."""
+    import logging
+
+    class _EmptySplitFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("RefBundle with a different schema" in msg
+                        and "new schema: PandasBlockSchema(names=[], "
+                            "types=[])" in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySplitFilter())
+
+
+_install_empty_split_log_filter()

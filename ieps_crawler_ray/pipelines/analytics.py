@@ -435,24 +435,6 @@ def _clusters_adaptive(pairs_ds: "rd.Dataset", a_col: str, b_col: str,
 _FANOUT_PARTITIONS = 64
 
 
-def _lab_checksum(labels: "rd.Dataset", key_type) -> int:
-    """Join-free convergence checksum: per-sweep labels only ever
-    shrink, so ANY injective-enough monotone-sensitive reduction
-    detects change. Ints sum directly; strings sum a per-batch
-    stable hash (labels changed => some row's hash changed => the
-    uint64 wrap-sum changes with overwhelming probability)."""
-    if pa.types.is_integer(key_type):
-        return labels.sum("lab")
-
-    def h(b: pd.DataFrame) -> pd.DataFrame:
-        v = pd.util.hash_pandas_object(b["lab"], index=False).to_numpy()
-        return pd.DataFrame({"s": [int(v.sum(dtype=np.uint64))]})
-
-    parts = labels.map_batches(h, batch_format="pandas").to_pandas()
-    return int(np.uint64(parts["s"].to_numpy(dtype=np.uint64)
-                         .sum(dtype=np.uint64)))
-
-
 def _clusters_labelprop(pairs_ds: "rd.Dataset", a_col: str = "doc_a",
                         b_col: str = "doc_b", out_col: str = "doc_id",
                         key_type: "pa.DataType" = None) -> "pd.DataFrame":
@@ -477,7 +459,6 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset", a_col: str = "doc_a",
                             "lab": b.column("src")}),
         batch_format="pyarrow"), ["node"], {"lab": ("lab", "min")}) \
         .materialize()
-    prev_sum = _lab_checksum(labels, key_type)
     # the fan-out groups on part = key % P (bounded group count), not the
     # raw node key: each group is a PARTITION whose edges merge-join the
     # co-partitioned label rows vectorized — same shuffle shape, no
@@ -506,31 +487,62 @@ def _clusters_labelprop(pairs_ds: "rd.Dataset", a_col: str = "doc_a",
             labs = g.loc[g["lab"].notna(), ["key", "lab"]]
             es = g.loc[g["lab"].isna(), ["key", "dst"]]
             m = es.merge(labs, on="key")
-            # own label rides along under the node's own key
+            # own label rides along under the node's own key; "own"
+            # carries the PRE-sweep label so convergence is an EXACT
+            # per-node old-vs-new compare — no hash-sum collision
+            # window (ADVICE r3). Each node has exactly ONE own row
+            # per sweep; max() must pick it over the propagated
+            # placeholder rows, so strings get a "\\x01" prefix (any
+            # prefixed string > "", and pandas object max can't mix
+            # str with NaN) and ints use nullable Int64.
             out = pd.DataFrame({
                 "node": pd.concat([labs["key"], m["dst"]],
                                   ignore_index=True),
                 "lab": pd.concat([labs["lab"], m["lab"]],
                                  ignore_index=True)})
             if pa.types.is_integer(key_type):
+                own = pd.concat(
+                    [labs["lab"], pd.Series([None] * len(m))],
+                    ignore_index=True)
                 # int64 columns ride through the union with nulls and
-                # come back float64 — restore the exact key dtype
+                # come back float64 — restore the exact dtypes
                 out = out.astype({"node": "int64", "lab": "int64"})
+                out["own"] = own.astype("Int64")
+            else:
+                out["own"] = pd.concat(
+                    ["\x01" + labs["lab"].astype(str),
+                     pd.Series([""] * len(m), dtype=object)],
+                    ignore_index=True)
             return out
 
-        new_labels = _part_groupby_agg(
+        merged = _part_groupby_agg(
             edges.map_batches(to_edge, batch_format="pyarrow")
             .union(labels.map_batches(to_lab, batch_format="pyarrow"))
             .groupby("part").map_groups(fan_out, batch_format="pandas"),
-            ["node"], {"lab": ("lab", "min")}).materialize()
-        # convergence: did any label shrink? (join-free checksum: the
-        # label sum strictly decreases until the fixpoint). The previous
-        # sweep's sum is carried forward — one aggregation per sweep.
-        new_sum = _lab_checksum(new_labels, key_type)
-        labels = new_labels
-        if new_sum == prev_sum:
+            ["node"], {"lab": ("lab", "min"),
+                       "old": ("own", "max")}).materialize()
+        # EXACT convergence: every node has exactly one non-null "own"
+        # row (its pre-sweep label), so old-vs-new is a per-row compare
+        # folded to one count per block — no join, no hash collisions
+
+        def changed_count(b: pd.DataFrame) -> pd.DataFrame:
+            old = b["old"] if pa.types.is_integer(key_type) \
+                else b["old"].str[1:]   # strip the "\x01" win-prefix
+            return pd.DataFrame({"c": [int((b["lab"] != old).sum())]})
+
+        n_changed = int(merged.map_batches(
+            changed_count, batch_format="pandas").to_pandas()["c"].sum())
+
+        def strip_old(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[["node", "lab"]]
+            if pa.types.is_integer(key_type):
+                out = out.astype({"node": "int64", "lab": "int64"})
+            return out
+
+        labels = merged.map_batches(
+            strip_old, batch_format="pandas").materialize()
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     out = labels.to_pandas().rename(
         columns={"node": out_col, "lab": "cluster_id"})
     if pa.types.is_integer(key_type):
@@ -1019,16 +1031,27 @@ def _part_apply(ds: "rd.Dataset", keys: list, fn,
     per output group (fine at 300 groups; measured 260 s at 282k groups
     on the sf0.1 simhash pair dedup). Keys hash per column with
     ``pd.util.hash_pandas_object`` (fixed hash key — deterministic
-    across worker processes) so any dtype partitions uniformly."""
+    across worker processes) so any dtype partitions uniformly.
 
-    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+    Empty input batches are dropped (the generator yields nothing), so
+    no typeless empty block enters the exchange from OUR side. Ray's
+    sort still builds zero-column pandas frames for empty range splits
+    (duplicate sampled boundaries when the key cardinality is below the
+    block count — sort normalizes blocks to pandas, so their empty
+    splits lose the schema); the package-level log filter in
+    ``ieps_crawler_ray/__init__`` documents why that divergence warning
+    is benign and suppresses exactly it."""
+
+    def add_part(b: pd.DataFrame):
+        if not len(b):
+            return      # yield nothing: empties carry no type info
         acc = np.zeros(len(b), dtype=np.uint64)
         for c in keys:  # per-column vectorized hash, mixed numerically
             acc = acc * np.uint64(0x9E3779B97F4A7C15) \
                 + pd.util.hash_pandas_object(b[c], index=False).to_numpy()
         b = b.copy()
         b["part"] = (acc % np.uint64(n_parts)).astype(np.int64)
-        return b
+        yield b
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns=["part"]))
@@ -1559,7 +1582,8 @@ ORACLE_SQL = {
     "events_value_quantile_sketch": """
         WITH h AS (
             SELECT event_type,
-                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 25 AS bin,
+                   CAST(FLOOR(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                              / 25.0) AS BIGINT) AS bin,
                    COUNT(*) AS n
             FROM events GROUP BY event_type, bin
         ), cum AS (
@@ -2535,10 +2559,14 @@ def events_value_quantile_sketch(sf_dir: str, bin_cents: int = 25):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(b["value"].to_numpy() * 100 + 0.5) \
             .astype(np.int64)
-        # truncate-toward-zero to match DuckDB's // (numpy // floors;
-        # they disagree on negative cents)
-        bins = np.where(cents >= 0, cents // bin_cents,
-                        -((-cents) // bin_cents))
+        # TRUE floor bins (numpy // floors): uniform width for negative
+        # cents too, so (bin+1)*bin_cents is the exact upper edge and
+        # the one-bin-width error bound holds for all values (ADVICE
+        # r3: trunc-toward-zero made bin 0 double-width and shifted
+        # negative edges). The oracle replays FLOOR(cents/25.0) —
+        # DuckDB's integer // truncates, so the SQL uses float FLOOR
+        # (cents < 2^53: the division and floor are IEEE-identical).
+        bins = cents // bin_cents
         return pd.DataFrame({"event_type": b["event_type"],
                              "bin": bins}) \
             .groupby(["event_type", "bin"], as_index=False) \

@@ -483,17 +483,76 @@ def _kmeans_oracle_sql(k: int = _KM_K,
 _SDD_TAU_NUM = 9801      # tau^2 = 0.9801 → tau = 0.99
 _SDD_TAU_DEN = 10000
 _SDD_CHUNK = 2048
+# rows per pair-task chunk: a (cluster, cx, cy) task holds at most
+# 2×_SDD_TASK_ROWS qe rows, so task memory is bounded no matter how
+# big a cluster gets
+_SDD_TASK_ROWS = 4096
+# target vectors per k-means cluster when k is derived from n (the
+# SemDeDup paper's constant-cluster-size regime); at sf0.01/sf0.1 the
+# derived k stays at _KM_K so the static SQL oracle replays the same
+# chain
+_SDD_TARGET_CLUSTER = 8192
+_SDD_MIX = 0x9E3779B97F4A7C15    # splitmix64 increment, chunk hashing
 
 
-def embedding_semdedup(sf_dir: str, k: int = _KM_K,
-                       iterations: int = _KM_ITERS):
+def _sdd_chunk_of(ids: np.ndarray, nc: int) -> np.ndarray:
+    """Deterministic chunk id per vec_id (position/engine-independent):
+    one uint64 multiplicative mix, mod the cluster's chunk count."""
+    h = ids.astype(np.uint64) * np.uint64(_SDD_MIX)
+    h ^= h >> np.uint64(31)
+    return (h % np.uint64(nc)).astype(np.int64)
+
+
+def _sdd_cross_dominated(Mi: np.ndarray, ni2: np.ndarray,
+                         idi: np.ndarray, Mj: np.ndarray,
+                         nj2: np.ndarray, idj: np.ndarray) -> np.ndarray:
+    """dominated[i] = any j with idj[j] < idi[i] and cosine(i,j) >= tau,
+    chunked over rows of Mi so the Gram block stays bounded. All
+    products are exact integers in float64 (< 2^53) with the SAME
+    association order as the SQL oracle."""
+    n = len(idi)
+    dominated = np.zeros(n, dtype=bool)
+    for lo in range(0, n, _SDD_CHUNK):
+        hi = min(lo + _SDD_CHUNK, n)
+        G = Mi[lo:hi] @ Mj.T
+        lhs = (G * G) * float(_SDD_TAU_DEN)
+        rhs = np.multiply.outer(ni2[lo:hi], nj2) * float(_SDD_TAU_NUM)
+        close = (G > 0) & (lhs >= rhs)
+        earlier = idj[None, :] < idi[lo:hi, None]
+        dominated[lo:hi] = (close & earlier).any(axis=1)
+    return dominated
+
+
+def embedding_semdedup(sf_dir: str, k: int = None,
+                       iterations: int = _KM_ITERS,
+                       task_rows: int = _SDD_TASK_ROWS):
     """SemDeDup-style semantic dedup (see module docstring): k-means over
     the planted-companion embedding set, then per-cluster keep-first at
     cosine >= 0.99. Output one row per vector: (vec_id, cluster, kept).
-    The in-cluster check runs in chunked row blocks (``_SDD_CHUNK`` rows
-    of the Gram product at a time), so a dense cluster costs bounded
-    memory; at scale k grows with n so clusters stay ~constant-size."""
+
+    Scale shape — no single task ever holds a whole cluster:
+    - k defaults to ``max(_KM_K, n // _SDD_TARGET_CLUSTER)`` so clusters
+      stay ~constant-size as n grows (the paper's regime; at the oracle
+      tiers this resolves to the SQL chain's k = 8).
+    - the in-cluster pairwise pass is an exact TRIANGULAR CHUNK-JOIN:
+      each cluster's rows are hash-chunked on vec_id into
+      ``ceil(count/task_rows)`` chunks; every row fans out once per
+      chunk it must meet, and each (cluster, cx ≤ cy) pair task tests
+      cross-chunk domination with a bounded Gram kernel
+      (≤ 2×task_rows rows, ``_SDD_CHUNK``-row Gram blocks). Dominated
+      flags OR-reduce per vec_id in one small groupby. A degenerate
+      corpus where k-means collapses everything into one cluster still
+      runs at (nchunks²/2)-way parallelism with bounded task memory —
+      replication factor per row is nchunks = count/task_rows, a
+      factor-task_rows saving over the O(count²) pair compute it feeds.
+    Equivalence to the one-task-per-cluster plan (and the SQL oracle's
+    NOT EXISTS): domination is a pairwise predicate against ALL
+    earlier-id rows of the cluster (kept or not), so it distributes
+    over any partition of the id space — every (i, j<i) pair lands in
+    exactly one pair task."""
     qds = _quantized_ds(sf_dir, plant=True)
+    if k is None:
+        k = max(_KM_K, qds.count() // _SDD_TARGET_CLUSTER)
     dim = len(qds.take(1)[0]["qe"])
     C = _kmeans_fit(qds, k, iterations, dim)
     c_ref = ray.put(C)
@@ -504,39 +563,87 @@ def embedding_semdedup(sf_dir: str, k: int = _KM_K,
         batch["cluster"] = _assign(M, ray.get(c_ref))
         return batch
 
-    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+    clustered = qds.map_batches(
+        with_cluster, batch_format="pandas").materialize()
+    # cluster sizes → chunk counts (k rows on the driver)
+    sizes = _part_groupby_agg(
+        clustered.select_columns(["vec_id", "cluster"]),
+        ["cluster"], {"n": ("vec_id", "size")}).to_pandas()
+    nchunks = {int(c): max(1, -(-int(n) // task_rows))
+               for c, n in zip(sizes["cluster"], sizes["n"])}
+    nc_ref = ray.put(nchunks)
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        # one copy of each row per chunk it must meet (nchunks copies)
+        ncs = ray.get(nc_ref)
         outs = []
-        for cid, gg in g.groupby("cluster", sort=False):
+        for cid, g in batch.groupby("cluster", sort=False):
+            nc = ncs[int(cid)]
+            q = _sdd_chunk_of(g["vec_id"].to_numpy(), nc)
+            for other in range(nc):
+                gg = g.copy()
+                gg["cx"] = np.minimum(q, other)
+                gg["cy"] = np.maximum(q, other)
+                outs.append(gg)
+        if not outs:
+            batch = batch.copy()
+            batch["cx"] = pd.Series(dtype="int64")
+            batch["cy"] = pd.Series(dtype="int64")
+            return batch
+        return pd.concat(outs, ignore_index=True)
+
+    def pair_tasks(g: pd.DataFrame) -> pd.DataFrame:
+        # one partition may hold several (cluster, cx, cy) tasks
+        ncs = ray.get(nc_ref)
+        outs = []
+        for (cid, cx, cy), gg in g.groupby(["cluster", "cx", "cy"],
+                                           sort=False):
             gg = gg.sort_values("vec_id")
-            M = np.stack(gg["qe"].to_numpy()).astype(np.float64)
             ids = gg["vec_id"].to_numpy()
-            na2 = (M * M).sum(axis=1)          # exact ints in float64
-            n = len(gg)
-            dominated = np.zeros(n, dtype=bool)
-            for lo in range(0, n, _SDD_CHUNK):
-                hi = min(lo + _SDD_CHUNK, n)
-                G = M[lo:hi] @ M.T             # exact ints (< 2^53)
-                lhs = (G * G) * float(_SDD_TAU_DEN)
-                rhs = np.multiply.outer(na2[lo:hi], na2) \
-                    * float(_SDD_TAU_NUM)
-                close = (G > 0) & (lhs >= rhs)
-                # only j < i (strictly earlier vec_id) can dominate
-                jj = np.arange(n)[None, :]
-                ii = np.arange(lo, hi)[:, None]
-                dominated[lo:hi] = (close & (jj < ii)).any(axis=1)
-            outs.append(pd.DataFrame({
-                "vec_id": ids,
-                "cluster": np.full(n, cid, dtype=np.int64),
-                "kept": ~dominated}))
+            M = np.stack(gg["qe"].to_numpy()).astype(np.float64)
+            na2 = (M * M).sum(axis=1)      # exact ints in float64
+            q = _sdd_chunk_of(ids, ncs[int(cid)])
+            if cx == cy:
+                # diagonal: within-chunk triangular test; emits the
+                # BASE row for every member of the chunk
+                dom = _sdd_cross_dominated(M, na2, ids, M, na2, ids)
+                outs.append(pd.DataFrame({
+                    "vec_id": ids,
+                    "cluster": np.full(len(ids), cid, dtype=np.int64),
+                    "dom": dom}))
+            else:
+                mx, my = q == cx, q == cy
+                for ma, mb in ((mx, my), (my, mx)):
+                    if not ma.any() or not mb.any():
+                        continue
+                    dom = _sdd_cross_dominated(
+                        M[ma], na2[ma], ids[ma],
+                        M[mb], na2[mb], ids[mb])
+                    if dom.any():   # off-diagonal: sparse True rows only
+                        outs.append(pd.DataFrame({
+                            "vec_id": ids[ma][dom],
+                            "cluster": np.full(int(dom.sum()), cid,
+                                               dtype=np.int64),
+                            "dom": True}))
         if not outs:
             return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
                                  "cluster": pd.Series(dtype="int64"),
-                                 "kept": pd.Series(dtype=bool)})
+                                 "dom": pd.Series(dtype=bool)})
         return pd.concat(outs, ignore_index=True)
 
-    return _part_apply(
-        qds.map_batches(with_cluster, batch_format="pandas"),
-        ["cluster"], dedup_cluster)
+    flags = _part_apply(
+        clustered.map_batches(fan_out, batch_format="pandas"),
+        ["cluster", "cx", "cy"], pair_tasks)
+    merged = _part_groupby_agg(flags, ["vec_id", "cluster"],
+                               {"dom": ("dom", "max")})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64"),
+            "cluster": batch["cluster"].astype("int64"),
+            "kept": ~batch["dom"].astype(bool)})
+
+    return merged.map_batches(finish, batch_format="pandas")
 
 
 def _semdedup_oracle_sql(k: int = _KM_K,
@@ -593,6 +700,12 @@ def _pq_fit(qds: "rd.Dataset", m: int, k: int, iterations: int,
     init = qds.filter(expr=f"vec_id < {k}").to_pandas() \
         .sort_values("vec_id")
     C0 = np.stack(init["qe"].to_numpy()).astype(np.int64)
+    # the filter(vec_id < k) init is equivalent to the oracle's
+    # ORDER BY vec_id LIMIT k only for contiguous ids from 0 — fail
+    # loudly (like _kmeans_fit) instead of silently training smaller
+    # codebooks on a sparse id space
+    assert C0.shape == (k, dim), \
+        f"PQ init expects contiguous vec_ids 0..{k - 1}, got {C0.shape}"
     books = np.stack([C0[:, s * sub:(s + 1) * sub] for s in range(m)])
 
     for _ in range(iterations):

@@ -310,7 +310,11 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
             "n_tokens": pa.array(n, pa.int64()),
             "bucket": pa.array((ids - lo) // width, pa.int64())})
 
-    cts = ds.map_batches(counts, batch_format="pyarrow")
+    # pin once: cts feeds both the bucket-partials pass and the final
+    # scan groupby — without this the read + per-doc tokenization of
+    # the whole corpus would execute twice (same reason as
+    # image_aspect_bucket_pack / doc_dup_ngram_spans)
+    cts = ds.map_batches(counts, batch_format="pyarrow").materialize()
 
     def bucket_partials(batch: pa.Table) -> pa.Table:
         df = batch.select(["bucket", "n_tokens"]).to_pandas()
