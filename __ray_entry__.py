@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_aspect_bucket_pack": F.image_aspect_bucket_pack,
         "image_contrastive_negatives": F.image_contrastive_negatives,
         "image_cbir_knn": F.image_cbir_knn,
+        "image_watermark_heuristic": F.image_watermark_heuristic,
         "image_phash_neardup": F.image_phash_neardup,
         "image_phash_clusters": F.image_phash_clusters,
         "crawl_image_diversity": F.crawl_image_diversity,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": F.video_frames,
         # corpus quality filtering / packing (round-3; SQL-checked)
         "doc_gopher_quality": Q.doc_gopher_quality,
+        "corpus_vocab_growth": Q.corpus_vocab_growth,
         "doc_unigram_logprob": Q.doc_unigram_logprob,
         "doc_dup_ngram_spans": Q.doc_dup_ngram_spans,
         "doc_ngram_novelty": Q.doc_ngram_novelty,
@@ -90,19 +92,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches / clustering / semantic dedup (round-3; SQL-checked)
         "corpus_heavy_hitters_cms": M.corpus_heavy_hitters_cms,
         "embedding_semdedup": M.embedding_semdedup,
+        "embedding_pca_power": M.embedding_pca_power,
         "knn_pq_adc": M.knn_pq_adc,
-        "corpus_bpe_learn": M.corpus_bpe_learn,
         # sampling / corpus statistics (SQL-checked)
-        "doc_tfidf_topterms": A.doc_tfidf_topterms,
         # joins / windows / sketches (SQL-checked) — the hard composed
         # operators stay inside the driver's 50-cap; simple sampling /
         # normalization entries bring up the rear with the relational
         # aggregates
-        "orders_semijoin_bloom": A.orders_semijoin_bloom,
         "events_asof_join": A.events_asof_join,
         "events_distinct_users_hll": A.events_distinct_users_hll,
         "events_value_quantile_sketch": A.events_value_quantile_sketch,
         "user_funnel": A.user_funnel,
+        "corpus_bpe_learn": M.corpus_bpe_learn,
+        "doc_tfidf_topterms": A.doc_tfidf_topterms,
+        "orders_semijoin_bloom": A.orders_semijoin_bloom,
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass) ---
         # similarity search brute-force baseline + IVF (same oracle

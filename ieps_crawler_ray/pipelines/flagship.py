@@ -376,6 +376,40 @@ def crawl_oracle_sql(tier: str) -> dict:
                   ORDER BY key DESC, cand_id) AS rn FROM scored)
         WHERE rn <= 3
     """,
+    "image_watermark_heuristic": f"""
+        WITH t AS (
+            SELECT image_id, ty,
+                   (299 * r_milli + 587 * g_milli + 114 * b_milli)
+                       // 1000 AS luma
+            FROM read_parquet('{_X}/tiles_expected.parquet')
+        ),
+        m AS (SELECT image_id, MAX(ty) + 1 AS ny
+              FROM t GROUP BY image_id),
+        f AS (
+            SELECT t.image_id, t.luma,
+                   CASE WHEN t.ty >= m.ny - GREATEST(m.ny // 4, 1)
+                        THEN 1 ELSE 0 END AS band
+            FROM t JOIN m USING (image_id)
+        ),
+        a AS (
+            SELECT image_id,
+                   CAST(SUM(band) AS BIGINT) AS bn,
+                   CAST(SUM(band * luma) AS BIGINT) AS bs,
+                   CAST(SUM(band * luma * luma) AS BIGINT) AS bs2,
+                   CAST(SUM(1 - band) AS BIGINT) AS rn,
+                   CAST(SUM((1 - band) * luma) AS BIGINT) AS rs
+            FROM f GROUP BY image_id
+        )
+        SELECT image_id,
+               CAST(bs // bn - rs // rn AS BIGINT)
+                   AS band_minus_rest_milli,
+               CAST(bn * bs2 - bs * bs AS BIGINT)
+                   AS band_uniformity_nvar,
+               (bs // bn - rs // rn >= 4000
+                AND bn * bs2 - bs * bs <= 600000000 * bn * bn)
+                   AS watermarked
+        FROM a
+    """,
     "image_contrastive_negatives": f"""
         WITH m AS (
             SELECT image_id,
@@ -965,6 +999,74 @@ def image_cbir_knn(sf_dir: str, k: int = 3, n_queries: int = 5):
     top = parts.groupby("query_id", sort=False).head(k).copy()
     top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
     return top.reset_index(drop=True)
+
+
+def image_watermark_heuristic(sf_dir: str, min_delta_milli: int = 4_000,
+                              max_band_nvar: int = 600_000_000):
+    """Watermark/overlay-band detection heuristic over DECODED pixels
+    (round-4 extension): watermark banners are typically a BRIGHT,
+    UNIFORM horizontal band at the bottom of the image, so per image we
+    compare the bottom-quarter tile rows ("band") against the rest:
+
+    - ``band_minus_rest_milli`` = trunc-mean band luma − trunc-mean rest
+      luma (milli-luma per tile from the 16×16 patch grid; all integer)
+    - ``band_uniformity_nvar``  = n·Σx² − (Σx)² over band tile lumas
+      (n²-scaled variance — division-free, exact int64)
+    - ``watermarked`` = band brighter by ≥ ``min_delta_milli`` AND band
+      variance ≤ ``max_band_nvar``·n² (uniform).
+
+    Scale shape: tiles from the actor-pool ImageTileStage; ONE bounded
+    (image_id, ty) row-partial groupby (≤ h/16 rows per image), then a
+    per-partition vectorized finish via ``_part_apply(image_id)`` — no
+    driver-side pivot, no full-table collect. The SQL oracle recomputes
+    the identical integer arithmetic generatively from the no-Ray tiles
+    export."""
+    from ..stages.multimodal import ImageTileStage
+    from .analytics import _part_apply, _part_groupby_agg
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+        ImageTileStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2)
+
+    def row_partial(b: pa.Table) -> pa.Table:
+        luma = (299 * b.column("r_milli").to_numpy()
+                + 587 * b.column("g_milli").to_numpy()
+                + 114 * b.column("b_milli").to_numpy()) // 1000
+        df = pd.DataFrame({"image_id": b.column("image_id").to_pylist(),
+                           "ty": b.column("ty").to_numpy(),
+                           "n": 1, "s": luma, "s2": luma * luma})
+        return pa.Table.from_pandas(
+            df.groupby(["image_id", "ty"], as_index=False).sum(),
+            preserve_index=False)
+
+    rows = _part_groupby_agg(
+        tiles.map_batches(row_partial, batch_format="pyarrow"),
+        ["image_id", "ty"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "s2": ("s2", "sum")})
+
+    def per_image(g: pd.DataFrame) -> pd.DataFrame:
+        ny = g.groupby("image_id")["ty"].transform("max") + 1
+        band = g["ty"] >= ny - np.maximum(ny // 4, 1)
+        gb = g[band].groupby("image_id")
+        gr = g[~band].groupby("image_id")
+        bn = gb["n"].sum()
+        bs = gb["s"].sum()
+        bs2 = gb["s2"].sum()
+        rn = gr["n"].sum().reindex(bn.index)
+        rs = gr["s"].sum().reindex(bn.index)
+        delta = bs // bn - rs // rn          # all sums non-negative
+        nvar = bn * bs2 - bs * bs
+        return pd.DataFrame({
+            "image_id": bn.index,
+            "band_minus_rest_milli": delta.astype("int64"),
+            "band_uniformity_nvar": nvar.astype("int64"),
+            "watermarked": (delta >= min_delta_milli)
+            & (nvar <= max_band_nvar * bn * bn)})
+
+    out = _part_apply(rows, ["image_id"], per_image).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
 
 
 def image_caption_dedup(sf_dir: str):

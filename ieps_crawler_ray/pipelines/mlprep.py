@@ -966,7 +966,127 @@ def _bpe_oracle_sql(iterations: int = _BPE_ITERS) -> str:
     return "".join(out) + "\n        " + selects
 
 
+# ---------------------------------------------------------------------------
+# Distributed PCA (power iteration over the exact integer Gram matrix)
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_SCALE = 1_000_000
+
+
+def _trunc_div(u: np.ndarray, m: int) -> np.ndarray:
+    """Truncate-toward-zero (u * SCALE) / m on python-int arrays —
+    DuckDB's BIGINT/HUGEINT ``//`` truncates while python's floors, so
+    negatives route through the explicit sign split both engines share."""
+    out = []
+    for x in u:
+        x = int(x)
+        out.append((x * _PCA_SCALE) // m if x >= 0
+                   else -((-x * _PCA_SCALE) // m))
+    return np.array(out, dtype=object)
+
+
+def embedding_pca_power(sf_dir: str, iterations: int = _PCA_ITERS):
+    """Distributed PCA, first principal direction (round-4 extension):
+    the dominant eigenvector of the UNCENTERED integer Gram matrix
+    G = Σ x xᵀ over the quantized embeddings, by fixed-iteration power
+    method, then each vector's first-PC projection score.
+
+    Integer-exactness protocol (the k-means/PQ discipline applied to
+    iterative linear algebra): coordinates are fixed-point ints, so G's
+    entries are exact integer sums; each power step computes u = G·v in
+    UNBOUNDED python-int arithmetic (the SQL oracle mirrors it in
+    HUGEINT) and rescales v = trunc(u·1e6 / max|u|) back to the ±1e6
+    grid — every quantity is an integer in BOTH engines, no float
+    protocol hazard anywhere. Scale shape: each block emits one dim²
+    partial (M.T @ M — int64-safe to ~9e6 rows/block at 1e6-scale
+    coords), merged on the driver in python ints (bounded by
+    blocks×dim², never by n; two-level merge at 100 TB); the power
+    iterations touch only the dim×dim driver matrix; the final
+    projection is one broadcast map_batches. Output: (vec_id,
+    pc1_score) with score = x·v_final (≤ dim·1e12 — int64-safe)."""
+    qds = _quantized_ds(sf_dir)
+    dim = len(qds.take(1)[0]["qe"])
+
+    def gram_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch["qe"].to_numpy()).astype(np.int64)
+        P = M.T @ M
+        i, j = np.nonzero(P)
+        return pd.DataFrame({"i": i.astype(np.int64),
+                             "j": j.astype(np.int64),
+                             "s": P[i, j]})
+
+    parts = qds.map_batches(gram_partial,
+                            batch_format="pandas").to_pandas()
+    # python-int merge: block partials are int64-exact, but the MERGED
+    # sums can pass 2^63 at scale — object dtype keeps them unbounded
+    parts["s"] = parts["s"].astype(object)
+    gm = parts.groupby(["i", "j"], as_index=False)["s"].sum()
+    G = np.zeros((dim, dim), dtype=object)
+    G[gm["i"].to_numpy(dtype=np.int64),
+      gm["j"].to_numpy(dtype=np.int64)] = gm["s"].to_numpy()
+
+    v = np.array([_PCA_SCALE] + [0] * (dim - 1), dtype=object)
+    for _ in range(iterations):
+        u = G @ v                     # unbounded python ints
+        m = max(max(int(abs(x)) for x in u), 1)
+        v = _trunc_div(u, m)
+
+    v_ref = ray.put(np.array([int(x) for x in v], dtype=np.int64))
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        vv = ray.get(v_ref)
+        M = np.stack(batch["qe"].to_numpy()).astype(np.int64)
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(),
+                             "pc1_score": M @ vv})
+
+    return qds.map_batches(project, batch_format="pandas")
+
+
+def _pca_oracle_sql(iterations: int = _PCA_ITERS) -> str:
+    chain = f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                 AS BIGINT)) AS qe
+            FROM embeddings),
+        dims AS (SELECT UNNEST(range(1, (SELECT MAX(len(qe)) FROM q) + 1))
+                 AS i),
+        flat AS MATERIALIZED (
+            SELECT vec_id, UNNEST(qe) AS x,
+                   generate_subscripts(qe, 1) AS i
+            FROM q),
+        g AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS s
+            FROM flat a JOIN flat b USING (vec_id)
+            GROUP BY a.i, b.i),
+        v0 AS (SELECT i, CAST(CASE WHEN i = 1 THEN {_PCA_SCALE}
+                              ELSE 0 END AS HUGEINT) AS val
+               FROM dims)"""
+    for t in range(1, iterations + 1):
+        chain += f"""
+        , u{t} AS MATERIALIZED (
+            SELECT g.i, SUM(g.s * v.val) AS val
+            FROM g JOIN v{t - 1} v ON g.j = v.i GROUP BY g.i),
+        m{t} AS (SELECT GREATEST(MAX(ABS(val)), 1) AS m FROM u{t}),
+        v{t} AS MATERIALIZED (
+            SELECT i, CASE WHEN val >= 0
+                      THEN (val * {_PCA_SCALE}) // (SELECT m FROM m{t})
+                      ELSE -((-val * {_PCA_SCALE})
+                             // (SELECT m FROM m{t}))
+                      END AS val
+            FROM u{t})"""
+    return chain + f"""
+        SELECT f.vec_id,
+               CAST(SUM(f.x * v.val) AS BIGINT) AS pc1_score
+        FROM flat f JOIN v{iterations} v ON f.i = v.i
+        GROUP BY f.vec_id
+    """
+
+
 MLPREP_ORACLE_SQL = {
+    "embedding_pca_power": _pca_oracle_sql(),
     "corpus_heavy_hitters_cms": _cms_oracle_sql(),
     "embedding_kmeans": _kmeans_oracle_sql(),
     "embedding_semdedup": _semdedup_oracle_sql(),

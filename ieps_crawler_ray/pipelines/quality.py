@@ -346,6 +346,91 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
 # dataset-card summary statistics
 # ---------------------------------------------------------------------------
 
+def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
+    """Heaps-law vocabulary-growth curve (round-4 extension): for every
+    doc IN doc_id ORDER, how many NEW tokens it introduces and the
+    cumulative vocabulary size up to and including it — the classic
+    corpus-composition diagnostic for training-data mixes.
+
+    Scale shape: token first-occurrence = one vocab-bounded min-groupby
+    (``first_doc = min(doc_id)`` per token — same boundedness argument
+    as ``corpus_ngram_counts``); per-doc new-token counts are another
+    bounded groupby; the running total is the SAME distributed bucket
+    prefix-sum as ``doc_pack_sequences`` (per-batch bucket partials →
+    tiny driver offset merge → one groupby(bucket) scan). Nothing
+    doc-scaled ever lands on the driver."""
+    from .analytics import _part_groupby_agg
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        best: dict = {}
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for w in set(T.TOKEN_RE.findall(t.lower())):
+                if w not in best or i < best[w]:
+                    best[w] = i
+        return pa.table({"w": pa.array(list(best.keys()), pa.string()),
+                         "fd": pa.array(list(best.values()), pa.int64())})
+
+    first = _part_groupby_agg(
+        ds.map_batches(first_partial, batch_format="pyarrow"),
+        ["w"], {"fd": ("fd", "min")})
+
+    new_counts = _part_groupby_agg(
+        first.map_batches(
+            lambda b: pa.table({"doc_id": b.column("fd"),
+                                "new_tokens": pa.array(
+                                    np.ones(b.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["doc_id"], {"new_tokens": ("new_tokens", "sum")})
+
+    # docs that introduce nothing still need a row: union a zero row per
+    # doc and re-sum (both sides bounded per-doc)
+    zeros = ds.select_columns(["doc_id"]).map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "new_tokens": pa.array(
+                                np.zeros(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    per_doc = _part_groupby_agg(
+        new_counts.union(zeros), ["doc_id"],
+        {"new_tokens": ("new_tokens", "sum")}).materialize()
+
+    # distributed prefix sum over doc_id ranges (doc_pack_sequences
+    # pattern): bucket partials -> driver offsets -> one bucket scan
+    idr = ds.select_columns(["doc_id"]) \
+        .aggregate(Min("doc_id"), Max("doc_id"))
+    lo, hi = idr["min(doc_id)"], idr["max(doc_id)"]
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = ((b["doc_id"] - lo) // width).astype("int64")
+        return b
+
+    bt = per_doc.map_batches(bucketed, batch_format="pandas") \
+        .materialize()
+    parts = bt.map_batches(
+        lambda b: b.groupby("bucket", as_index=False)["new_tokens"]
+        .sum(), batch_format="pandas").to_pandas()
+    tot = parts.groupby("bucket")["new_tokens"].sum().sort_index()
+    offsets = tot.cumsum().shift(fill_value=0).to_dict()
+    off_ref = ray.put(offsets)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "new_tokens": g["new_tokens"].astype("int64"),
+            "vocab_size": (g["new_tokens"].cumsum()
+                           + offs[int(g["bucket"].iloc[0])])
+            .astype("int64")})
+
+    return bt.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
 def corpus_summary_stats(sf_dir: str):
     """The dataset-card header table: one row per (lang, source) slice
     with doc/token/char counts and integer-milli mean lengths — the
@@ -577,6 +662,20 @@ def corpus_mixture_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUALITY_ORACLE_SQL = {
+    "corpus_vocab_growth": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\w+')) AS w
+            FROM documents
+        ),
+        f AS (SELECT w, MIN(doc_id) AS fd FROM toks GROUP BY w),
+        nt AS (SELECT fd AS doc_id, COUNT(*) AS c FROM f GROUP BY fd)
+        SELECT d.doc_id,
+               CAST(COALESCE(nt.c, 0) AS BIGINT) AS new_tokens,
+               CAST(SUM(COALESCE(nt.c, 0)) OVER (ORDER BY d.doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN nt USING (doc_id)
+    """,
     "doc_benchmark_contamination": """
         WITH bench AS (
             SELECT substr(text, 51, 60) AS sn FROM documents

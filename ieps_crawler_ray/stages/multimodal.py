@@ -18,6 +18,14 @@ NotImplementedError at the documented integration point, and the
 deterministic fake decoder exercises the Ray-side plumbing — schema,
 actor signature, batch shapes, output layout — exactly as a production
 codec would.
+
+Environment check (re-verified each round; last: round 4, 2026-08-18):
+none of PIL / imageio / cv2 / av / soundfile / pydub / torchvision is
+installed in this container and there is no ffmpeg binary, so the
+``codec="real"`` branches stay honest NotImplementedError integration
+points. Wiring order when a wheel appears: import in ``__init__`` (once
+per actor), decode in ``_decode``/``_frames``, and add a
+corpus-contract oracle query like the WAV/Y4M ones.
 """
 
 from __future__ import annotations
