@@ -227,3 +227,30 @@ def test_bpe_learn_planted_merges(ray_session, tmp_path):
     assert out.iloc[0]["pair"] in ("t h", "h e")
     assert (out["merged_count"] > 0).all()
     assert out["iteration"].tolist() == [1, 2, 3]
+
+
+def test_pca_power_matches_local_recompute(ray_session):
+    """embedding_pca_power vs a pure-python-int replay of the protocol."""
+    got = M.embedding_pca_power(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    Q = M._quantize(np.stack(t["embedding"].to_numpy()))
+    G = [[sum(int(Q[r, i]) * int(Q[r, j]) for r in range(len(Q)))
+          for j in range(Q.shape[1])] for i in range(Q.shape[1])]
+    v = [M._PCA_SCALE] + [0] * (Q.shape[1] - 1)
+    for _ in range(M._PCA_ITERS):
+        u = [sum(G[i][j] * v[j] for j in range(len(v)))
+             for i in range(len(v))]
+        m = max(max(abs(x) for x in u), 1)
+        v = [(x * M._PCA_SCALE) // m if x >= 0
+             else -((-x * M._PCA_SCALE) // m) for x in u]
+    want = pd.DataFrame({
+        "vec_id": t["vec_id"].to_numpy(),
+        "pc1_score": [sum(int(Q[r, i]) * v[i]
+                          for i in range(len(v)))
+                      for r in range(len(Q))]})
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+    # the dominant direction must separate vectors (non-constant scores)
+    assert got["pc1_score"].nunique() > 1

@@ -342,3 +342,34 @@ def test_tile_means_consistent_with_crop_mean():
         for ch, got in ((0, r), (1, g), (2, b)):
             true = int(crop[..., ch].astype(np.int64).sum()) * 1000 // 256
             assert got == true
+
+
+def test_watermark_heuristic_matches_local_recompute(ray_session):
+    """image_watermark_heuristic vs an independent pandas recompute of
+    the same integer contract from the raw tile features."""
+    from ieps_crawler_ray.pipelines.flagship import (
+        image_tiles, image_watermark_heuristic)
+
+    SF = "/root/testdata/sf0.001"
+    got = image_watermark_heuristic(SF)
+    tiles = image_tiles(SF)
+    t = tiles.copy()
+    t["luma"] = (299 * t["r_milli"] + 587 * t["g_milli"]
+                 + 114 * t["b_milli"]) // 1000
+    rows = []
+    for iid, g in t.groupby("image_id"):
+        ny = int(g["ty"].max()) + 1
+        band = g["ty"] >= ny - max(ny // 4, 1)
+        bn, bs = int(band.sum()), int(g.loc[band, "luma"].sum())
+        bs2 = int((g.loc[band, "luma"] ** 2).sum())
+        rn, rs = int((~band).sum()), int(g.loc[~band, "luma"].sum())
+        delta = bs // bn - rs // rn
+        nvar = bn * bs2 - bs * bs
+        rows.append((iid, delta, nvar,
+                     delta >= 4000 and nvar <= 600_000_000 * bn * bn))
+    want = pd.DataFrame(rows, columns=[
+        "image_id", "band_minus_rest_milli", "band_uniformity_nvar",
+        "watermarked"]).sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the heuristic must split the corpus non-degenerately
+    assert 0 < int(got["watermarked"].sum()) < len(got)

@@ -275,3 +275,39 @@ def test_contamination_short_docs_no_bench(ray_session, tmp_path):
     out = doc_benchmark_contamination(sf).to_pandas()
     assert (out["n_hits"] == 0).all()
     assert (out["contaminated"] == 0).all()
+
+
+def test_vocab_growth_matches_local_scan(ray_session):
+    """corpus_vocab_growth vs a sequential one-pass set-union scan."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines.quality import corpus_vocab_growth
+
+    got = corpus_vocab_growth(SF_SMALL).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF_SMALL}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    seen: set = set()
+    rows = []
+    for i, txt in zip(t["doc_id"], t["text"]):
+        toks = set(re.findall(r"\w+", txt.lower()))
+        new = toks - seen
+        seen |= new
+        rows.append((int(i), len(new), len(seen)))
+    want = pd.DataFrame(rows,
+                        columns=["doc_id", "new_tokens", "vocab_size"])
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  want.astype("int64"))
+
+
+def test_vocab_growth_bucket_invariant(ray_session):
+    from ieps_crawler_ray.pipelines.quality import corpus_vocab_growth
+
+    a = corpus_vocab_growth(SF_SMALL, n_buckets=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = corpus_vocab_growth(SF_SMALL, n_buckets=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
