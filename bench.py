@@ -101,9 +101,14 @@ def run_bench() -> dict:
         timed("doc_simhash", lambda: A.doc_simhash(sf_dir))
         timed("knn_cosine", lambda: A.knn_cosine(sf_dir))
         from ieps_crawler_ray.pipelines import mlprep as M
+        from ieps_crawler_ray.pipelines import quality as Q
         timed("corpus_heavy_hitters_cms",
               lambda: M.corpus_heavy_hitters_cms(sf_dir))
         timed("embedding_semdedup", lambda: M.embedding_semdedup(sf_dir))
+        timed("embedding_pca_power",
+              lambda: M.embedding_pca_power(sf_dir))
+        timed("corpus_vocab_growth",
+              lambda: Q.corpus_vocab_growth(sf_dir))
 
     total = round(sum(queries.values()), 3)
     result = {
