@@ -571,6 +571,33 @@ def embedding_semdedup(sf_dir: str, k: int = None,
         ["cluster"], {"n": ("vec_id", "size")}).to_pandas()
     nchunks = {int(c): max(1, -(-int(n) // task_rows))
                for c, n in zip(sizes["cluster"], sizes["n"])}
+
+    if all(v == 1 for v in nchunks.values()):
+        # every cluster fits one bounded task: the chunk-join's
+        # degenerate case IS the single-pass plan — skip the fan-out
+        # and OR-reduce exchanges (3 fewer shuffles; parity with the
+        # multi-chunk path is pinned by the degenerate-corpus test)
+        def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for cid, gg in g.groupby("cluster", sort=False):
+                gg = gg.sort_values("vec_id")
+                ids = gg["vec_id"].to_numpy()
+                M = np.stack(gg["qe"].to_numpy()).astype(np.float64)
+                na2 = (M * M).sum(axis=1)
+                dom = _sdd_cross_dominated(M, na2, ids, M, na2, ids)
+                outs.append(pd.DataFrame({
+                    "vec_id": ids,
+                    "cluster": np.full(len(ids), cid, dtype=np.int64),
+                    "kept": ~dom}))
+            if not outs:
+                return pd.DataFrame({
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                    "kept": pd.Series(dtype=bool)})
+            return pd.concat(outs, ignore_index=True)
+
+        return _part_apply(clustered, ["cluster"], dedup_cluster)
+
     nc_ref = ray.put(nchunks)
 
     def fan_out(batch: pd.DataFrame) -> pd.DataFrame:

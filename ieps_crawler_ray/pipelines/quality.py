@@ -384,51 +384,60 @@ def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
                                 "new_tokens": pa.array(
                                     np.ones(b.num_rows, dtype=np.int64))}),
             batch_format="pyarrow"),
-        ["doc_id"], {"new_tokens": ("new_tokens", "sum")})
+        ["doc_id"], {"new_tokens": ("new_tokens", "sum")}).materialize()
 
-    # docs that introduce nothing still need a row: union a zero row per
-    # doc and re-sum (both sides bounded per-doc)
+    # doc_id range from the parquet footer stats (no data pass; exact —
+    # row-group min/max are written for int columns)
+    import pyarrow.dataset as pads
+    frs = [f for f in pads.dataset(_pq(sf_dir, "documents"),
+                                   format="parquet").get_fragments()]
+    stats = [rg.statistics["doc_id"] for f in frs
+             for rg in f.row_groups]
+    lo = min(s["min"] for s in stats)
+    hi = max(s["max"] for s in stats)
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    # bucket offsets from the SPARSE counts alone (zero-docs add 0):
+    # per-block bucket partials -> tiny driver merge — no extra exchange
+    parts = new_counts.map_batches(
+        lambda b: pd.DataFrame(
+            {"bucket": (b["doc_id"] - lo) // width,
+             "new_tokens": b["new_tokens"]})
+        .groupby("bucket", as_index=False)["new_tokens"].sum(),
+        batch_format="pandas").to_pandas()
+    tot = parts.groupby("bucket")["new_tokens"].sum() \
+        .reindex(range(n_buckets + 1), fill_value=0).sort_index()
+    offsets = tot.cumsum().shift(fill_value=0).to_dict()
+    off_ref = ray.put(offsets)
+
+    # docs that introduce nothing still need a row; their zero rows ride
+    # into the ONE bucket scan, which also folds the per-doc sum (a doc's
+    # zero + count rows land in the same bucket partition)
     zeros = ds.select_columns(["doc_id"]).map_batches(
         lambda b: pa.table({"doc_id": b.column("doc_id"),
                             "new_tokens": pa.array(
                                 np.zeros(b.num_rows, dtype=np.int64))}),
         batch_format="pyarrow")
-    per_doc = _part_groupby_agg(
-        new_counts.union(zeros), ["doc_id"],
-        {"new_tokens": ("new_tokens", "sum")}).materialize()
-
-    # distributed prefix sum over doc_id ranges (doc_pack_sequences
-    # pattern): bucket partials -> driver offsets -> one bucket scan
-    idr = ds.select_columns(["doc_id"]) \
-        .aggregate(Min("doc_id"), Max("doc_id"))
-    lo, hi = idr["min(doc_id)"], idr["max(doc_id)"]
-    width = max(1, (hi - lo + n_buckets) // n_buckets)
 
     def bucketed(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["bucket"] = ((b["doc_id"] - lo) // width).astype("int64")
         return b
 
-    bt = per_doc.map_batches(bucketed, batch_format="pandas") \
-        .materialize()
-    parts = bt.map_batches(
-        lambda b: b.groupby("bucket", as_index=False)["new_tokens"]
-        .sum(), batch_format="pandas").to_pandas()
-    tot = parts.groupby("bucket")["new_tokens"].sum().sort_index()
-    offsets = tot.cumsum().shift(fill_value=0).to_dict()
-    off_ref = ray.put(offsets)
-
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         offs = ray.get(off_ref)
-        g = g.sort_values("doc_id").reset_index(drop=True)
+        g = g.groupby("doc_id", as_index=False)["new_tokens"].sum() \
+            .sort_values("doc_id").reset_index(drop=True)
+        bucket = int((g["doc_id"].iloc[0] - lo) // width)
         return pd.DataFrame({
             "doc_id": g["doc_id"].astype("int64"),
             "new_tokens": g["new_tokens"].astype("int64"),
             "vocab_size": (g["new_tokens"].cumsum()
-                           + offs[int(g["bucket"].iloc[0])])
-            .astype("int64")})
+                           + offs[bucket]).astype("int64")})
 
-    return bt.groupby("bucket").map_groups(scan, batch_format="pandas")
+    return new_counts.union(zeros) \
+        .map_batches(bucketed, batch_format="pandas") \
+        .groupby("bucket").map_groups(scan, batch_format="pandas")
 
 
 def corpus_summary_stats(sf_dir: str):
