@@ -346,6 +346,13 @@ def doc_pack_sequences(sf_dir: str, seq_len: int = 512,
 # dataset-card summary statistics
 # ---------------------------------------------------------------------------
 
+# adaptive threshold: under this many per-block distinct (token, min-doc)
+# partial rows, the first-occurrence merge runs on the driver (one pandas
+# groupby) instead of two distributed exchanges — same policy shape as
+# _clusters_adaptive / _DUP_SET_LIMIT_ROWS
+_VOCAB_LOCAL_LIMIT_ROWS = 2_000_000
+
+
 def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
     """Heaps-law vocabulary-growth curve (round-4 extension): for every
     doc IN doc_id ORDER, how many NEW tokens it introduces and the
@@ -357,8 +364,12 @@ def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
     as ``corpus_ngram_counts``); per-doc new-token counts are another
     bounded groupby; the running total is the SAME distributed bucket
     prefix-sum as ``doc_pack_sequences`` (per-batch bucket partials →
-    tiny driver offset merge → one groupby(bucket) scan). Nothing
-    doc-scaled ever lands on the driver."""
+    tiny driver offset merge → one groupby(bucket) scan). ADAPTIVE
+    small-vocab path: when the per-block distinct partials total under
+    ``_VOCAB_LOCAL_LIMIT_ROWS``, the min-merge and per-doc counts run
+    as one driver groupby instead of two distributed exchanges (the
+    `_clusters_adaptive` pattern — at web scale the partials exceed the
+    limit and the exchanges run)."""
     from .analytics import _part_groupby_agg
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
@@ -374,17 +385,25 @@ def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
         return pa.table({"w": pa.array(list(best.keys()), pa.string()),
                          "fd": pa.array(list(best.values()), pa.int64())})
 
-    first = _part_groupby_agg(
-        ds.map_batches(first_partial, batch_format="pyarrow"),
-        ["w"], {"fd": ("fd", "min")})
-
-    new_counts = _part_groupby_agg(
-        first.map_batches(
-            lambda b: pa.table({"doc_id": b.column("fd"),
-                                "new_tokens": pa.array(
-                                    np.ones(b.num_rows, dtype=np.int64))}),
-            batch_format="pyarrow"),
-        ["doc_id"], {"new_tokens": ("new_tokens", "sum")}).materialize()
+    fp = ds.map_batches(first_partial,
+                        batch_format="pyarrow").materialize()
+    if fp.count() <= _VOCAB_LOCAL_LIMIT_ROWS:
+        pf = fp.to_pandas().groupby("w", as_index=False)["fd"].min()
+        nc_df = pf.groupby("fd", as_index=False).size() \
+            .rename(columns={"fd": "doc_id", "size": "new_tokens"})
+        new_counts = rd.from_pandas(
+            nc_df.astype({"doc_id": "int64", "new_tokens": "int64"}))
+    else:
+        first = _part_groupby_agg(fp, ["w"], {"fd": ("fd", "min")})
+        new_counts = _part_groupby_agg(
+            first.map_batches(
+                lambda b: pa.table({
+                    "doc_id": b.column("fd"),
+                    "new_tokens": pa.array(
+                        np.ones(b.num_rows, dtype=np.int64))}),
+                batch_format="pyarrow"),
+            ["doc_id"],
+            {"new_tokens": ("new_tokens", "sum")}).materialize()
 
     # doc_id range from the parquet footer stats (no data pass; exact —
     # row-group min/max are written for int columns)
@@ -435,8 +454,11 @@ def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
             "vocab_size": (g["new_tokens"].cumsum()
                            + offs[bucket]).astype("int64")})
 
-    return new_counts.union(zeros) \
-        .map_batches(bucketed, batch_format="pandas") \
+    # bucketize each branch BEFORE the union so both sides contribute
+    # pandas blocks of the identical schema (a mixed arrow/pandas union
+    # trips the executor's schema-divergence warning)
+    return new_counts.map_batches(bucketed, batch_format="pandas") \
+        .union(zeros.map_batches(bucketed, batch_format="pandas")) \
         .groupby("bucket").map_groups(scan, batch_format="pandas")
 
 

@@ -311,3 +311,17 @@ def test_vocab_growth_bucket_invariant(ray_session):
     b = corpus_vocab_growth(SF_SMALL, n_buckets=7).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_vocab_growth_distributed_path_parity(ray_session, monkeypatch):
+    """Force the over-limit exchange path and pin it to the adaptive
+    driver-merge path (same policy-parity discipline as
+    _clusters_adaptive)."""
+    from ieps_crawler_ray.pipelines import quality as Qm
+
+    a = Qm.corpus_vocab_growth(SF_SMALL).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(Qm, "_VOCAB_LOCAL_LIMIT_ROWS", 0)
+    b = Qm.corpus_vocab_growth(SF_SMALL).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
