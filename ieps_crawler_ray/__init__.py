@@ -38,9 +38,14 @@ def _install_empty_split_log_filter() -> None:
     class _EmptySplitFilter(logging.Filter):
         def filter(self, record: logging.LogRecord) -> bool:
             msg = record.getMessage()
-            return not ("RefBundle with a different schema" in msg
-                        and "new schema: PandasBlockSchema(names=[], "
-                            "types=[])" in msg)
+            if "RefBundle with a different schema" not in msg:
+                return True
+            # empty pandas split (zero-column frame) or empty arrow
+            # schema (prints as the empty string)
+            benign = ("new schema: PandasBlockSchema(names=[], "
+                      "types=[])" in msg
+                      or "new schema: . This may lead" in msg)
+            return not benign
 
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
