@@ -65,10 +65,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_contrastive_negatives": F.image_contrastive_negatives,
         "image_cbir_knn": F.image_cbir_knn,
         "image_watermark_heuristic": F.image_watermark_heuristic,
+        "image_patch_psnr": F.image_patch_psnr,
+        "image_dominant_colors": F.image_dominant_colors,
         "image_phash_neardup": F.image_phash_neardup,
         "image_phash_clusters": F.image_phash_clusters,
         "crawl_image_diversity": F.crawl_image_diversity,
         "crawl_host_stats": F.crawl_host_stats,
+        "crawl_politeness_audit": F.crawl_politeness_audit,
         "crawl_link_components": F.crawl_link_components,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,
@@ -77,11 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus quality filtering / packing (round-3; SQL-checked)
         "doc_gopher_quality": Q.doc_gopher_quality,
         "corpus_vocab_growth": Q.corpus_vocab_growth,
-        "doc_unigram_logprob": Q.doc_unigram_logprob,
         "doc_dup_ngram_spans": Q.doc_dup_ngram_spans,
-        "doc_ngram_novelty": Q.doc_ngram_novelty,
         "doc_pack_sequences": Q.doc_pack_sequences,
-        "doc_benchmark_contamination": Q.doc_benchmark_contamination,
         # dedup / fingerprints / language (SQL-checked)
         "minhash_lsh_neardup": A.minhash_lsh_neardup,
         "simhash_neardup": A.simhash_neardup,
@@ -103,11 +103,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users_hll": A.events_distinct_users_hll,
         "events_value_quantile_sketch": A.events_value_quantile_sketch,
         "user_funnel": A.user_funnel,
+        # --- driver 50-cap boundary (entries below are re-verified by
+        # check_contract, just not by the driver's capped pass; bpe /
+        # tfidf / bloom-semijoin / unigram-logprob / ngram-novelty /
+        # contamination moved past the cap in round 4 to keep the new
+        # crawl/image-family audits inside it) ---
+        "doc_unigram_logprob": Q.doc_unigram_logprob,
+        "doc_ngram_novelty": Q.doc_ngram_novelty,
+        "doc_benchmark_contamination": Q.doc_benchmark_contamination,
         "corpus_bpe_learn": M.corpus_bpe_learn,
         "doc_tfidf_topterms": A.doc_tfidf_topterms,
         "orders_semijoin_bloom": A.orders_semijoin_bloom,
-        # --- driver 50-cap boundary (entries below are re-verified by
-        # check_contract, just not by the driver's capped pass) ---
+        "corpus_token_entropy": Q.corpus_token_entropy,
         # similarity search brute-force baseline + IVF (same oracle
         # family as the in-cap knn_pq_adc)
         "knn_cosine": A.knn_cosine,

@@ -410,6 +410,82 @@ def crawl_oracle_sql(tier: str) -> dict:
                    AS watermarked
         FROM a
     """,
+    "image_patch_psnr": f"""
+        WITH a AS (
+            SELECT image_id,
+                   CAST(3 * COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(
+                       (r_milli % 8000 - 4000) * (r_milli % 8000 - 4000)
+                     + (g_milli % 8000 - 4000) * (g_milli % 8000 - 4000)
+                     + (b_milli % 8000 - 4000) * (b_milli % 8000 - 4000))
+                       AS BIGINT) AS sse
+            FROM read_parquet('{_X}/tiles_expected.parquet')
+            GROUP BY image_id
+        ),
+        p AS (
+            SELECT image_id, n_samples, sse,
+                   CASE WHEN sse = 0 THEN -1.0
+                        ELSE FLOOR(10 * LOG10(
+                                 CAST(65025000000 * n_samples AS DOUBLE)
+                                 / CAST(sse AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   END AS psnr_db
+            FROM a
+        )
+        SELECT image_id, n_samples, sse, psnr_db,
+               (sse = 0 OR psnr_db >= 40.0) AS psnr_ge_40
+        FROM p
+    """,
+    "image_dominant_colors": f"""
+        WITH t AS (
+            SELECT image_id,
+                   r_milli // 64000 * 16 + g_milli // 64000 * 4
+                       + b_milli // 64000 AS cell
+            FROM read_parquet('{_X}/tiles_expected.parquet')
+        ),
+        c AS (SELECT image_id, cell, CAST(COUNT(*) AS BIGINT) AS n_tiles
+              FROM t GROUP BY image_id, cell),
+        r AS (
+            SELECT image_id, cell, n_tiles,
+                   CAST(n_tiles * 1000
+                        // SUM(n_tiles) OVER (PARTITION BY image_id)
+                        AS BIGINT) AS frac_milli,
+                   ROW_NUMBER() OVER (PARTITION BY image_id
+                       ORDER BY n_tiles DESC, cell) AS rk
+            FROM c
+        )
+        SELECT image_id, CAST(rk AS BIGINT) AS rank, CAST(cell AS BIGINT)
+                   AS cell, n_tiles, frac_milli
+        FROM r WHERE rk <= 3
+    """,
+    "crawl_politeness_audit": f"""
+        WITH f AS (
+            SELECT DISTINCT domain, fetch_time
+            FROM read_parquet('{_X}/pages.parquet')
+            WHERE fetch_time IS NOT NULL
+        ),
+        d AS (
+            SELECT domain,
+                   COALESCE(TRY_CAST(regexp_extract(robots_content,
+                       'Crawl-delay: ([0-9]+)', 1) AS BIGINT) * 1000,
+                       4000) AS delay_ms
+            FROM read_parquet('{_X}/sites.parquet')
+        ),
+        g AS (
+            SELECT domain,
+                   fetch_time - LAG(fetch_time) OVER (
+                       PARTITION BY domain ORDER BY fetch_time) AS gap
+            FROM f
+        )
+        SELECT g.domain,
+               CAST(COALESCE(d.delay_ms, 4000) AS BIGINT) AS delay_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_fetch_slots,
+               CAST(COALESCE(MIN(gap), -1) AS BIGINT) AS min_gap_ms,
+               CAST(COALESCE(SUM(CASE WHEN gap <
+                   COALESCE(d.delay_ms, 4000) THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_violations
+        FROM g LEFT JOIN d USING (domain)
+        GROUP BY g.domain, d.delay_ms
+    """,
     "image_contrastive_negatives": f"""
         WITH m AS (
             SELECT image_id,
@@ -1067,6 +1143,176 @@ def image_watermark_heuristic(sf_dir: str, min_delta_milli: int = 4_000,
 
     out = _part_apply(rows, ["image_id"], per_image).to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+def image_patch_psnr(sf_dir: str, q_milli: int = 8_000):
+    """Per-image lossy-recompression fidelity at patch-grid resolution
+    (round-4 extension — the north-star "PSNR >= 40 dB for lossy
+    formats" acceptance check expressed as a corpus query): each 16×16
+    tile's mean channel value (milli units from the actor-pool
+    ImageTileStage) is re-quantized to ``q_milli`` steps with midpoint
+    reconstruction (``v → v//q·q + q//2`` — what a q-level lossy codec
+    emits) and the per-image PSNR of that reconstruction is reported:
+
+    - ``sse``        = Σ over tiles×{r,g,b} of (v − quant(v))²  (int64)
+    - ``psnr_db``    = 10·log10(255000²·n / sse), round6
+      (lossless images, sse == 0, report the −1.0 sentinel)
+    - ``psnr_ge_40`` = sse == 0 OR psnr_db ≥ 40
+
+    Scale shape: ONE vectorized per-batch partial groupby
+    (image_id → n, sse) over the tile stream, merged by a
+    partition-wise groupby — only per-image integer pairs ever leave a
+    worker, never pixels. Floats appear ONLY in the final per-image
+    expression, on identical int64 operands in both engines (cast →
+    divide → log10 → round6), so the SQL oracle replays it exactly from
+    the no-Ray tiles export. (Reference parity: the reference stores
+    raw image bytes unverified — ``db/CrawlerDIO.scala:157-166``; this
+    is the fidelity audit a multimodal training corpus adds on top.)"""
+    from ..stages.multimodal import ImageTileStage
+    from .analytics import _part_groupby_agg
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+        ImageTileStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2)
+    half = q_milli // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"image_id": b.column("image_id").to_pylist(),
+                           "n": 3, "sse": 0})
+        sse = np.zeros(b.num_rows, dtype=np.int64)
+        for c in ("r_milli", "g_milli", "b_milli"):
+            e = b.column(c).to_numpy() % q_milli - half
+            sse += e * e
+        df["sse"] = sse
+        return pa.Table.from_pandas(
+            df.groupby("image_id", as_index=False).sum(),
+            preserve_index=False)
+
+    agg = _part_groupby_agg(
+        tiles.map_batches(partial, batch_format="pyarrow"),
+        ["image_id"],
+        {"n_samples": ("n", "sum"), "sse": ("sse", "sum")}).to_pandas()
+    n = agg["n_samples"].to_numpy(np.int64)
+    sse = agg["sse"].to_numpy(np.int64)
+    peak2 = 255_000 * 255_000
+    with np.errstate(divide="ignore"):
+        psnr = 10.0 * np.log10((peak2 * n).astype(np.float64)
+                               / np.maximum(sse, 1).astype(np.float64))
+    psnr = np.floor(psnr * 1e6 + 0.5) / 1e6
+    agg["psnr_db"] = np.where(sse == 0, -1.0, psnr)
+    agg["psnr_ge_40"] = (sse == 0) | (agg["psnr_db"] >= 40.0)
+    return agg.sort_values("image_id").reset_index(drop=True)
+
+
+def image_dominant_colors(sf_dir: str, top_k: int = 3):
+    """Per-image dominant-color palette (round-4 extension — the
+    color-composition facet an image-corpus curation UI slices on):
+    each tile's mean RGB is quantized to a 4×4×4 = 64-cell palette
+    (``cell = (r//64000)·16 + (g//64000)·4 + b//64000``, all milli
+    units) and the top-``top_k`` cells per image are ranked by
+    (tile count DESC, cell ASC) with an integer milli fraction.
+
+    Scale shape: per-batch (image_id, cell) count partials → one
+    partition-wise groupby merge → per-image vectorized rank/head
+    inside ``_part_apply(image_id)`` (every image's ≤64 cell rows land
+    in one partition; the total-tile denominator is a transform over
+    the same partition). No driver-side pivot; the SQL oracle replays
+    the identical integer arithmetic from the no-Ray tiles export."""
+    from ..stages.multimodal import ImageTileStage
+    from .analytics import _part_apply, _part_groupby_agg
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+        ImageTileStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cell = (b.column("r_milli").to_numpy() // 64_000 * 16
+                + b.column("g_milli").to_numpy() // 64_000 * 4
+                + b.column("b_milli").to_numpy() // 64_000)
+        df = pd.DataFrame({"image_id": b.column("image_id").to_pylist(),
+                           "cell": cell, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["image_id", "cell"], as_index=False).sum(),
+            preserve_index=False)
+
+    agg = _part_groupby_agg(
+        tiles.map_batches(partial, batch_format="pyarrow"),
+        ["image_id", "cell"], {"n_tiles": ("n", "sum")})
+
+    def per_image(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("image_id")["n_tiles"].transform("sum")
+        g = g.assign(frac_milli=g["n_tiles"] * 1000 // tot) \
+            .sort_values(["image_id", "n_tiles", "cell"],
+                         ascending=[True, False, True])
+        g["rank"] = g.groupby("image_id").cumcount() + 1
+        return g[g["rank"] <= top_k]
+
+    out = _part_apply(agg, ["image_id"], per_image).to_pandas()
+    out = out.astype({c: "int64" for c in
+                      ["cell", "n_tiles", "frac_milli", "rank"]})
+    return out.sort_values(["image_id", "rank"]).reset_index(drop=True) \
+        [["image_id", "rank", "cell", "n_tiles", "frac_milli"]]
+
+
+def crawl_politeness_audit(sf_dir: str):
+    """Per-domain politeness-conformance audit over the crawl output
+    (round-4 extension — the SRE table a crawl operator watches): for
+    every crawled domain, the robots-derived delay, the number of
+    distinct fetch-clock slots, the minimum inter-slot gap and the
+    count of gaps shorter than the delay. On a conformant engine
+    ``n_violations`` is 0 and ``min_gap_ms`` equals ``delay_ms`` for
+    every domain with ≥2 slots — making the politeness contract (ST3)
+    visible to the driver's hash-compare as data, cross-checked against
+    the single-threaded oracle crawler's exported clock.
+
+    Scale shape: the pages read is pruned to (domain, fetch_time); gaps
+    are a per-domain vectorized diff inside ``_part_apply(domain)``;
+    the per-domain delay table (one int per domain — bounded by domain
+    count, not page count) is broadcast once via ``ray.put`` (J3
+    pattern) and parsed with the engine's real robots parser
+    (``functions/robots.py``), which the SQL oracle replays as a regexp
+    over ``sites.robots_content`` (exact for this corpus's
+    ``Crawl-delay: N`` robots shape; missing file/line → the parser's
+    4000 ms default). ``min_gap_ms`` uses a −1 sentinel for
+    single-slot domains (NULL-free int64 keeps the cross-engine dtype
+    stable)."""
+    from ..functions.robots import parse_robots
+    from .analytics import _part_apply
+
+    out_dir = _crawled(sf_dir)
+    sites = C.read_sites(out_dir)
+    delays = {d: parse_robots(rc).get_delay_ms()
+              for d, rc in zip(sites.column("domain").to_pylist(),
+                               sites.column("robots_content").to_pylist())}
+    dref = ray.put(delays)
+
+    pages = C.read_pages(out_dir) \
+        .select_columns(["domain", "fetch_time"])
+
+    def per_domain(g: pd.DataFrame) -> pd.DataFrame:
+        dmap = ray.get(dref)
+        f = g.dropna(subset=["fetch_time"]) \
+            .drop_duplicates(["domain", "fetch_time"]) \
+            .sort_values(["domain", "fetch_time"])
+        f["delay_ms"] = f["domain"].map(dmap).fillna(4000).astype("int64")
+        gaps = f.groupby("domain")["fetch_time"].diff()
+        f["viol"] = (gaps < f["delay_ms"]).astype("int64")
+        f["gap"] = gaps
+        a = f.groupby("domain", as_index=False).agg(
+            delay_ms=("delay_ms", "first"), n_fetch_slots=("gap", "size"),
+            min_gap_ms=("gap", "min"), n_violations=("viol", "sum"))
+        a["min_gap_ms"] = a["min_gap_ms"].fillna(-1).astype("int64")
+        return a
+
+    out = _part_apply(pages, ["domain"], per_domain).to_pandas()
+    return out.sort_values("domain").reset_index(drop=True) \
+        .astype({c: "int64" for c in
+                 ["delay_ms", "n_fetch_slots", "min_gap_ms",
+                  "n_violations"]})
 
 
 def image_caption_dedup(sf_dir: str):

@@ -494,6 +494,71 @@ def corpus_summary_stats(sf_dir: str):
                   "mean_tokens_milli", "mean_chars_milli"]})
 
 
+def corpus_token_entropy(sf_dir: str):
+    """Corpus unigram Shannon entropy + type/token counts (round-4
+    extension — the tokenizer-health number a training-data release
+    reports next to the dataset card): over lowercase ``\\w+`` unigrams,
+
+        H = log2(N) − (Σ_w c_w · log2 c_w) / N          [bits/token]
+
+    plus the type-token ratio in integer micro units.
+
+    Cross-engine exactness: the inner sum is accumulated in INTEGER
+    micro-bit units — each distinct count contributes
+    ``c · floor(log2(c)·1e6 + 0.5)``; both engines evaluate log2 on the
+    same int64 → identical doubles → identical floors — so the corpus
+    reduction is an order-free integer sum (python ints on the driver,
+    HUGEINT in SQL) and only the final entropy expression touches
+    floats, on identical operands (double addition is NOT associative,
+    so a naive SUM(c*log2(c)) could hash-diverge between engines).
+
+    Scale shape: per-block Counter partials bound the exchange by
+    vocabulary, not token count (same argument as
+    ``corpus_ngram_counts``); the grouped counts then reduce
+    per-partition to (n_tokens, n_types, Σ c·microlog2) triples, so at
+    most one small integer row per block reaches the driver."""
+    from .analytics import _part_groupby_agg
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"],
+                         override_num_blocks=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(T.TOKEN_RE.findall(t.lower()))
+        return pa.table({"w": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = _part_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w"], {"n": ("n", "sum")})
+
+    def reduce_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy()
+        micro = np.floor(np.log2(n.astype(np.float64)) * 1e6 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({"nt": [int(n.sum())], "ty": [len(n)],
+                             "e": [int((n * micro).sum())]})
+
+    rows = counts.map_batches(reduce_partial,
+                              batch_format="pandas").to_pandas()
+    # python-int driver merge: the per-block e partials are int64-safe,
+    # the corpus total need not be
+    nt = int(rows["nt"].sum()) if len(rows) else 0
+    ty = int(rows["ty"].sum()) if len(rows) else 0
+    e = sum(int(v) for v in rows["e"]) if len(rows) else 0
+    if nt == 0:
+        ent, ttr = -1.0, -1
+    else:
+        import math
+        ent = _r6(math.log2(float(nt)) - float(e) / float(nt) / 1e6)
+        ttr = ty * 1_000_000 // nt
+    return pd.DataFrame({"n_tokens": pd.array([nt], dtype="int64"),
+                         "n_types": pd.array([ty], dtype="int64"),
+                         "entropy_bits": [ent],
+                         "ttr_micro": pd.array([ttr], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # ordered n-gram novelty (first-claim analysis)
 # ---------------------------------------------------------------------------
@@ -693,6 +758,30 @@ def corpus_mixture_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 QUALITY_ORACLE_SQL = {
+    "corpus_token_entropy": r"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+            FROM documents
+        ),
+        c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w),
+        s AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                     CAST(COUNT(*) AS BIGINT) AS ty,
+                     SUM(CAST(n AS HUGEINT)
+                         * CAST(FLOOR(LOG2(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                                AS HUGEINT)) AS e
+              FROM c)
+        SELECT COALESCE(nt, 0) AS n_tokens,
+               COALESCE(ty, 0) AS n_types,
+               CASE WHEN COALESCE(nt, 0) = 0 THEN -1.0
+                    ELSE FLOOR((LOG2(CAST(nt AS DOUBLE))
+                                - CAST(e AS DOUBLE) / CAST(nt AS DOUBLE)
+                                  / 1e6) * 1e6 + 0.5) / 1e6
+               END AS entropy_bits,
+               CASE WHEN COALESCE(nt, 0) = 0 THEN CAST(-1 AS BIGINT)
+                    ELSE CAST(ty * 1000000 // nt AS BIGINT)
+               END AS ttr_micro
+        FROM s
+    """,
     "corpus_vocab_growth": r"""
         WITH toks AS (
             SELECT doc_id,

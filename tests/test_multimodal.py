@@ -373,3 +373,85 @@ def test_watermark_heuristic_matches_local_recompute(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # the heuristic must split the corpus non-degenerately
     assert 0 < int(got["watermarked"].sum()) < len(got)
+
+
+def test_patch_psnr_matches_local_recompute(ray_session):
+    """image_patch_psnr vs an independent pandas recompute of the same
+    quantize-and-compare contract from the raw tile features."""
+    import math
+
+    from ieps_crawler_ray.pipelines.flagship import (
+        image_patch_psnr, image_tiles)
+
+    SF = "/root/testdata/sf0.001"
+    got = image_patch_psnr(SF)
+    tiles = image_tiles(SF)
+    rows = []
+    for iid, g in tiles.groupby("image_id"):
+        sse = 0
+        for c in ("r_milli", "g_milli", "b_milli"):
+            e = g[c] % 8000 - 4000
+            sse += int((e * e).sum())
+        n = 3 * len(g)
+        if sse == 0:
+            psnr = -1.0
+        else:
+            psnr = math.floor(
+                10 * math.log10(float(255_000 * 255_000 * n)
+                                / float(sse)) * 1e6 + 0.5) / 1e6
+        rows.append((iid, n, sse, psnr, sse == 0 or psnr >= 40.0))
+    want = pd.DataFrame(rows, columns=[
+        "image_id", "n_samples", "sse", "psnr_db",
+        "psnr_ge_40"]).sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # 8000-milli quantization sits right at the 40 dB bar (q^2/12 noise
+    # ~= 40.9 dB): every image must report a real positive PSNR
+    assert (got["sse"] > 0).all() and (got["psnr_db"] > 0).all()
+
+
+def test_dominant_colors_matches_local_recompute(ray_session):
+    """image_dominant_colors vs an independent recompute of the 64-cell
+    palette ranking from the raw tile features."""
+    from ieps_crawler_ray.pipelines.flagship import (
+        image_dominant_colors, image_tiles)
+
+    SF = "/root/testdata/sf0.001"
+    got = image_dominant_colors(SF)
+    tiles = image_tiles(SF)
+    t = tiles.copy()
+    t["cell"] = (t["r_milli"] // 64_000 * 16 + t["g_milli"] // 64_000 * 4
+                 + t["b_milli"] // 64_000)
+    rows = []
+    for iid, g in t.groupby("image_id"):
+        c = g.groupby("cell").size().reset_index(name="n_tiles")
+        c = c.sort_values(["n_tiles", "cell"],
+                          ascending=[False, True]).head(3)
+        tot = len(g)
+        for rk, (_, r) in enumerate(c.iterrows(), start=1):
+            rows.append((iid, rk, int(r["cell"]), int(r["n_tiles"]),
+                         int(r["n_tiles"]) * 1000 // tot))
+    want = pd.DataFrame(rows, columns=[
+        "image_id", "rank", "cell", "n_tiles", "frac_milli"])
+    pd.testing.assert_frame_equal(got, want)
+    # ranks are dense from 1 and fractions are sane
+    assert set(got[got["rank"] == 1]["image_id"]) \
+        == set(got["image_id"].unique())
+    assert got["frac_milli"].between(0, 1000).all()
+
+
+def test_politeness_audit_conformance(ray_session):
+    """The audit table itself must prove the politeness contract: zero
+    violations, and min gap == robots delay for every multi-slot
+    domain (ST3 made visible as data)."""
+    from ieps_crawler_ray.pipelines.flagship import crawl_politeness_audit
+
+    got = crawl_politeness_audit("/root/testdata/sf0.001")
+    assert len(got) > 0
+    assert (got["n_violations"] == 0).all()
+    multi = got[got["n_fetch_slots"] >= 2]
+    assert len(multi) > 0
+    assert (multi["min_gap_ms"] == multi["delay_ms"]).all()
+    single = got[got["n_fetch_slots"] < 2]
+    assert (single["min_gap_ms"] == -1).all()
+    # both robots-specified and default delays must appear in the world
+    assert got["delay_ms"].nunique() >= 2

@@ -325,3 +325,42 @@ def test_vocab_growth_distributed_path_parity(ray_session, monkeypatch):
     b = Qm.corpus_vocab_growth(SF_SMALL).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_entropy_matches_local_counter(ray_session):
+    """corpus_token_entropy vs a driver-side Counter recompute of the
+    identical micro-bit integer protocol (and a planted uniform corpus
+    where the entropy is known in closed form)."""
+    import math
+    from collections import Counter
+
+    from ieps_crawler_ray.functions import text as T
+
+    got = Q.corpus_token_entropy(SF_SMALL)
+    assert len(got) == 1
+    docs = pd.read_parquet(os.path.join(SF_SMALL, "documents.parquet"),
+                           columns=["text"])
+    c = Counter()
+    for t in docs["text"]:
+        c.update(T.TOKEN_RE.findall(t.lower()))
+    nt = sum(c.values())
+    e = sum(n * math.floor(math.log2(n) * 1e6 + 0.5) for n in c.values())
+    ent = math.floor((math.log2(float(nt)) - float(e) / float(nt) / 1e6)
+                     * 1e6 + 0.5) / 1e6
+    row = got.iloc[0]
+    assert int(row["n_tokens"]) == nt
+    assert int(row["n_types"]) == len(c)
+    assert row["entropy_bits"] == ent
+    assert int(row["ttr_micro"]) == len(c) * 1_000_000 // nt
+    assert 0.0 < row["entropy_bits"] <= math.log2(len(c)) + 1e-9
+
+
+def test_token_entropy_uniform_corpus(ray_session, tmp_path):
+    """On a corpus of 8 equally-frequent tokens H must be exactly
+    log2(8) = 3 bits (up to the micro-bit quantization)."""
+    sf = _write_docs(tmp_path, ["t0 t1 t2 t3", "t4 t5 t6 t7",
+                                "t0 t1 t2 t3", "t4 t5 t6 t7"])
+    got = Q.corpus_token_entropy(sf)
+    row = got.iloc[0]
+    assert int(row["n_tokens"]) == 16 and int(row["n_types"]) == 8
+    assert abs(row["entropy_bits"] - 3.0) < 1e-5
