@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": F.image_tiles,
         "image_curation": F.image_curation,
         "image_dedup_vs_reference": F.image_dedup_vs_reference,
+        "image_dedup_psnr_verify": F.image_dedup_psnr_verify,
         "image_aspect_bucket_pack": F.image_aspect_bucket_pack,
         "image_contrastive_negatives": F.image_contrastive_negatives,
         "image_cbir_knn": F.image_cbir_knn,
@@ -101,13 +102,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates
         "events_asof_join": A.events_asof_join,
         "events_distinct_users_hll": A.events_distinct_users_hll,
-        "events_value_quantile_sketch": A.events_value_quantile_sketch,
         "user_funnel": A.user_funnel,
         # --- driver 50-cap boundary (entries below are re-verified by
         # check_contract, just not by the driver's capped pass; bpe /
         # tfidf / bloom-semijoin / unigram-logprob / ngram-novelty /
         # contamination moved past the cap in round 4 to keep the new
         # crawl/image-family audits inside it) ---
+        "events_value_quantile_sketch": A.events_value_quantile_sketch,
         "doc_unigram_logprob": Q.doc_unigram_logprob,
         "doc_ngram_novelty": Q.doc_ngram_novelty,
         "doc_benchmark_contamination": Q.doc_benchmark_contamination,

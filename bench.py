@@ -83,7 +83,11 @@ def run_bench() -> dict:
             filter=(pc.field("kind") == 1) & pc.field("downloaded"))
     except Exception:
         pass
-    shutil.rmtree(out, ignore_errors=True)
+    # the headline crawl is config-identical to flagship._crawled (same
+    # world, same CrawlConfig): seed the flagship crawl cache so the
+    # crawl-view queries below read it instead of re-crawling
+    from ieps_crawler_ray.pipelines import flagship as _F
+    _F._CRAWL_CACHE[_F.effective_tier(sf_dir)] = out
 
     # ---- analytics suite (skipped in crawl-only scaling subprocesses) ----
     if not os.environ.get("BENCH_CRAWL_ONLY"):
@@ -109,6 +113,13 @@ def run_bench() -> dict:
               lambda: M.embedding_pca_power(sf_dir))
         timed("corpus_vocab_growth",
               lambda: Q.corpus_vocab_growth(sf_dir))
+        timed("corpus_token_entropy",
+              lambda: Q.corpus_token_entropy(sf_dir))
+        from ieps_crawler_ray.pipelines import flagship as F
+        timed("image_patch_psnr", lambda: F.image_patch_psnr(sf_dir))
+        # reuses the in-process crawl cache from the headline run
+        timed("crawl_politeness_audit",
+              lambda: F.crawl_politeness_audit(sf_dir))
 
     total = round(sum(queries.values()), 3)
     result = {

@@ -39,6 +39,24 @@ _SCALES = {
 _DEFAULT_SCALE = (5, 60, 60, 3, 32, 128)
 
 
+def _blocked(tbl: pa.Table, rows_per_block: int = 32) -> rd.Dataset:
+    """Fixture table → Ray dataset with REAL block parallelism.
+
+    ``rd.from_arrow(tbl)`` yields ONE block, and Ray Data's unit of
+    parallelism is the block — a single-block dataset runs any
+    downstream ``map_batches`` as a single task no matter the
+    actor-pool ``concurrency`` (measured: every decode stage over the
+    1000-image sf0.1 corpus ran serially on one actor). Slice into
+    ~``rows_per_block``-row blocks up front (zero-copy Arrow slices);
+    at real scale this dataset comes from a parquet/Lance read that is
+    already multi-block, so this is sandbox-fixture plumbing only."""
+    n = tbl.num_rows
+    if n <= rows_per_block:
+        return rd.from_arrow(tbl)
+    return rd.from_arrow([tbl.slice(i, rows_per_block)
+                          for i in range(0, n, rows_per_block)])
+
+
 def _generator_version() -> str:
     """8-hex fingerprint of the corpus-generation code (cache-key token)."""
     import hashlib
@@ -191,6 +209,8 @@ def ensure_oracle_export(sf_dir: str) -> str:
                 os.path.join(out, "tiles_expected.parquet"))
     write_table(_dedupref_expected(nc),
                 os.path.join(out, "dedupref_expected.parquet"))
+    write_table(_dedupref_tiles_expected(nc),
+                os.path.join(out, "dedupref_tiles_expected.parquet"))
     write_table(_video_expected(max(nc // 4, 4)),
                 os.path.join(out, "video_expected.parquet"))
     tmp = marker + f".tmp{os.getpid()}"
@@ -583,6 +603,69 @@ def crawl_oracle_sql(tier: str) -> dict:
                CASE WHEN b.ref_id IS NULL THEN 0 ELSE 1 END AS is_dup
         FROM read_parquet('{_X}/dedupref_expected.parquet') n
         LEFT JOIN best b USING (image_id)
+    """,
+    "image_dedup_psnr_verify": f"""
+        WITH best AS (
+            SELECT n.image_id, r.image_id AS ref_id,
+                   bit_count(xor(n.phash, r.phash)) AS hamming
+            FROM read_parquet('{_X}/dedupref_expected.parquet') n
+            JOIN read_parquet('{_X}/corpus.parquet') r
+              ON bit_count(xor(n.phash, r.phash)) <= 3
+            QUALIFY row_number() OVER (PARTITION BY n.image_id
+                                       ORDER BY hamming, ref_id) = 1
+        ),
+        nt AS (SELECT * FROM
+               read_parquet('{_X}/dedupref_tiles_expected.parquet')),
+        rt AS (SELECT * FROM
+               read_parquet('{_X}/tiles_expected.parquet')),
+        ncnt AS (SELECT image_id, COUNT(*) AS n FROM nt
+                 GROUP BY image_id),
+        rcnt AS (SELECT image_id, COUNT(*) AS n FROM rt
+                 GROUP BY image_id),
+        j AS (
+            SELECT b.image_id, b.ref_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(
+                       (nt.r_milli - rt.r_milli)
+                           * (nt.r_milli - rt.r_milli)
+                     + (nt.g_milli - rt.g_milli)
+                           * (nt.g_milli - rt.g_milli)
+                     + (nt.b_milli - rt.b_milli)
+                           * (nt.b_milli - rt.b_milli)) AS BIGINT) AS sse
+            FROM best b
+            JOIN nt ON nt.image_id = b.image_id
+            JOIN rt ON rt.image_id = b.ref_id
+                   AND rt.ty = nt.ty AND rt.tx = nt.tx
+            GROUP BY b.image_id, b.ref_id
+        ),
+        f AS (
+            SELECT b.image_id, b.ref_id,
+                   COALESCE(j.n_common, 0) AS n_common,
+                   COALESCE(j.sse, 0) AS sse0,
+                   (ncnt.n = rcnt.n
+                    AND COALESCE(j.n_common, 0) = ncnt.n) AS grid_ok
+            FROM best b
+            LEFT JOIN j ON j.image_id = b.image_id
+                       AND j.ref_id = b.ref_id
+            JOIN ncnt ON ncnt.image_id = b.image_id
+            JOIN rcnt ON rcnt.image_id = b.ref_id
+        ),
+        p AS (
+            SELECT image_id, ref_id, grid_ok, sse0,
+                   CASE WHEN grid_ok THEN CAST(3 * n_common AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS n_samples,
+                   CASE WHEN grid_ok THEN sse0
+                        ELSE CAST(-1 AS BIGINT) END AS sse,
+                   CASE WHEN grid_ok AND sse0 > 0
+                        THEN FLOOR(10 * LOG10(
+                            CAST(65025000000 * 3 * n_common AS DOUBLE)
+                            / CAST(sse0 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                        ELSE -1.0 END AS psnr_db
+            FROM f
+        )
+        SELECT image_id, ref_id, n_samples, sse, psnr_db,
+               (grid_ok AND (sse0 = 0 OR psnr_db >= 25.0)) AS verified
+        FROM p
     """,
     "video_frames": f"""
         SELECT video_id, frame_idx, w, h, frame_hash
@@ -977,7 +1060,7 @@ def image_contrastive_negatives(sf_dir: str, k: int = 4):
             "j": pa.array(js, pa.int64()),
             "neg_image_id": pa.array(negs, pa.string())})
 
-    return rd.from_arrow(meta).map_batches(
+    return _blocked(meta).map_batches(
         draw, batch_format="pyarrow").to_pandas() \
         .sort_values(["image_id", "j"]).reset_index(drop=True)
 
@@ -1008,9 +1091,9 @@ def image_cbir_knn(sf_dir: str, k: int = 3, n_queries: int = 5):
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+    tiles = _blocked(build_corpus_rows(nc)).map_batches(
         ImageTileStage, batch_format="pyarrow", batch_size=16,
-        concurrency=2)
+        concurrency=(2, 8))
 
     def hist_partial(b: pa.Table) -> pa.Table:
         luma = (299 * b.column("r_milli").to_numpy()
@@ -1102,9 +1185,9 @@ def image_watermark_heuristic(sf_dir: str, min_delta_milli: int = 4_000,
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+    tiles = _blocked(build_corpus_rows(nc)).map_batches(
         ImageTileStage, batch_format="pyarrow", batch_size=16,
-        concurrency=2)
+        concurrency=(2, 8))
 
     def row_partial(b: pa.Table) -> pa.Table:
         luma = (299 * b.column("r_milli").to_numpy()
@@ -1173,9 +1256,9 @@ def image_patch_psnr(sf_dir: str, q_milli: int = 8_000):
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+    tiles = _blocked(build_corpus_rows(nc)).map_batches(
         ImageTileStage, batch_format="pyarrow", batch_size=16,
-        concurrency=2)
+        concurrency=(2, 8))
     half = q_milli // 2
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1225,9 +1308,9 @@ def image_dominant_colors(sf_dir: str, top_k: int = 3):
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    tiles = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+    tiles = _blocked(build_corpus_rows(nc)).map_batches(
         ImageTileStage, batch_format="pyarrow", batch_size=16,
-        concurrency=2)
+        concurrency=(2, 8))
 
     def partial(b: pa.Table) -> pa.Table:
         cell = (b.column("r_milli").to_numpy() // 64_000 * 16
@@ -1290,8 +1373,22 @@ def crawl_politeness_audit(sf_dir: str):
                                sites.column("robots_content").to_pylist())}
     dref = ray.put(delays)
 
-    pages = C.read_pages(out_dir) \
-        .select_columns(["domain", "fetch_time"])
+    # pruned raw read of the pages view: the audit needs only
+    # (domain, fetch_time) and is independent of the DUPLICATE
+    # overlay, so skip read_pages' full-width overlay scan. Size read
+    # blocks by bytes (~64 MiB of file per task): the crawl sink writes
+    # one file per (generation, dpart), so a default one-block-per-file
+    # read hands the sort exchange hundreds of tiny blocks and its
+    # per-block × per-partition split overhead dominates (measured 6.5 s
+    # → 0.2 s on the sf0.1 output; at real scale the same rule yields
+    # full-size blocks)
+    paths = C._fetched_paths(out_dir)
+    nb = max(8, sum(os.path.getsize(p) for p in paths) // (64 << 20))
+    pages = rd.read_parquet(
+        paths, columns=["domain", "fetch_time"],
+        override_num_blocks=nb,
+        filter=((pc.field("kind") == 0)
+                | (~pc.field("allowed") & pc.field("stores_page"))))
 
     def per_domain(g: pd.DataFrame) -> pd.DataFrame:
         dmap = ray.get(dref)
@@ -1488,7 +1585,7 @@ def image_augment(sf_dir: str):
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+    ds = _blocked(build_corpus_rows(nc)).map_batches(
         ImageAugmentStage, batch_format="pyarrow", batch_size=32,
         concurrency=2)
     out = ds.to_pandas()
@@ -1569,6 +1666,34 @@ def _tiles_expected(n: int) -> pa.Table:
         "b_milli": pa.array(bs, pa.int64())})
 
 
+def _dedupref_tiles_expected(n: int) -> pa.Table:
+    """Tile-grid features of the dedup-vs-reference NEW batch, computed
+    WITHOUT Ray — the fixture the ``image_dedup_psnr_verify`` SQL
+    oracle joins against ``tiles_expected`` (the reference side)."""
+    from ..functions import image_codec as ic
+    from ..stages.multimodal import tile_grid_features
+
+    new = _dedupref_new_rows(n)
+    ids, tys, txs, rs, gs, bs = [], [], [], [], [], []
+    for i in range(new.num_rows):
+        iid = new.column("image_id")[i].as_py()
+        img, _fmt = ic.decode_image(new.column("bytes")[i].as_py())
+        for ty, tx, r, g, b in tile_grid_features(img):
+            ids.append(iid)
+            tys.append(ty)
+            txs.append(tx)
+            rs.append(r)
+            gs.append(g)
+            bs.append(b)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "ty": pa.array(tys, pa.int64()),
+        "tx": pa.array(txs, pa.int64()),
+        "r_milli": pa.array(rs, pa.int64()),
+        "g_milli": pa.array(gs, pa.int64()),
+        "b_milli": pa.array(bs, pa.int64())})
+
+
 def image_quality_scores(sf_dir: str):
     """Per-image quality scoring (mean luma, RMS-contrast variance,
     Laplacian sharpness — all integer-exact) as an actor-pool
@@ -1579,7 +1704,7 @@ def image_quality_scores(sf_dir: str):
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+    ds = _blocked(build_corpus_rows(nc)).map_batches(
         ImageQualityStage, batch_format="pyarrow", batch_size=32,
         concurrency=2).drop_columns(["w", "h", "phash"])
     return ds.to_pandas().sort_values("image_id").reset_index(drop=True)
@@ -1594,9 +1719,9 @@ def image_tiles(sf_dir: str):
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    ds = rd.from_arrow(build_corpus_rows(nc)).map_batches(
+    ds = _blocked(build_corpus_rows(nc)).map_batches(
         ImageTileStage, batch_format="pyarrow", batch_size=16,
-        concurrency=2)
+        concurrency=(2, 8))
     return ds.to_pandas().sort_values(["image_id", "ty", "tx"]) \
         .reset_index(drop=True)
 
@@ -1618,7 +1743,7 @@ def image_curation(sf_dir: str, min_side: int = 48,
 
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    scored = rd.from_arrow(_curation_corpus_rows(nc)).map_batches(
+    scored = _blocked(_curation_corpus_rows(nc)).map_batches(
         ImageQualityStage, batch_format="pyarrow", batch_size=32,
         concurrency=2)
 
@@ -1764,12 +1889,125 @@ def image_dedup_vs_reference(sf_dir: str, max_hamming: int = 3):
     ref_ph = np.array(ref.column("phash").to_pylist(),
                       dtype=np.int64).view(np.uint64)
     ref_ref = ray.put((ref_ids, ref_ph))
-    out = rd.from_arrow(_dedupref_new_rows(nc)).map_batches(
+    out = _blocked(_dedupref_new_rows(nc)).map_batches(
         _RefPhashProbeStage,
         fn_constructor_kwargs={"ref_ref": ref_ref,
                                "max_hamming": max_hamming},
         batch_format="pyarrow", batch_size=32, concurrency=2).to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+def image_dedup_psnr_verify(sf_dir: str, min_psnr_db: float = 25.0,
+                            max_hamming: int = 3):
+    """Pixel-level verification of the phash dedup-vs-reference
+    candidates — the VERIFY half of the candidate-join → verify shape
+    every production dedup runs: each matched (new, ref) pair is
+    re-compared at patch-grid resolution (tile-mean channel SSE →
+    PSNR, the ``image_patch_psnr`` float protocol) and accepted only
+    when the tile grids agree in shape and PSNR clears
+    ``min_psnr_db`` (phash hamming ≤ 3 can false-positive across
+    genuinely different images; pixel PSNR cannot). A grid-shape
+    mismatch (different dims) rejects outright with the −1 sentinels.
+
+    Scale shape: candidates are the bounded output of the broadcast
+    phash probe, so both decode stages tile ONLY candidate rows
+    (semi-filtered before any decode), the ref→new fan-out rides a
+    broadcast pair map, and the per-pair compare is one vectorized
+    merge inside ``_part_apply(pair)`` — non-candidate pixels never
+    move. SQL oracle: the brute-force best-match CTE (same as
+    image_dedup_vs_reference) joined against the two no-Ray tile
+    exports, replaying the identical integer SSE and final-float
+    PSNR."""
+    from ..stages.multimodal import ImageTileStage
+    from .analytics import _part_apply
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    pairs = image_dedup_vs_reference(sf_dir, max_hamming)
+    pairs = pairs[pairs["is_dup"] == 1][["image_id", "ref_id"]]
+    if not len(pairs):
+        return pd.DataFrame({
+            "image_id": pd.Series([], dtype=object),
+            "ref_id": pd.Series([], dtype=object),
+            "n_samples": pd.Series([], dtype="int64"),
+            "sse": pd.Series([], dtype="int64"),
+            "psnr_db": pd.Series([], dtype="float64"),
+            "verified": pd.Series([], dtype=bool)})
+    ref2new: dict = {}
+    for nid, rid in zip(pairs["image_id"], pairs["ref_id"]):
+        ref2new.setdefault(rid, []).append(nid)
+    rref = ray.put(ref2new)
+
+    new_tab = _dedupref_new_rows(nc)
+    new_tab = new_tab.filter(pc.is_in(
+        new_tab.column("image_id"),
+        value_set=pa.array(list(pairs["image_id"]))))
+    ref_tab = build_corpus_rows(nc)
+    ref_tab = ref_tab.filter(pc.is_in(
+        ref_tab.column("image_id"),
+        value_set=pa.array(sorted(ref2new))))
+
+    tile_kw = dict(batch_format="pyarrow", batch_size=32,
+                   concurrency=(2, 8))
+    cols = ["pair", "side", "ty", "tx", "r_milli", "g_milli", "b_milli"]
+
+    def tag_new(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(pair=b["image_id"], side=0)
+        return b[cols]
+
+    def explode_ref(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(rref)
+        fan = pd.DataFrame(
+            [(rid, nid) for rid in b["image_id"].unique()
+             for nid in m.get(rid, ())], columns=["image_id", "pair"])
+        out = b.merge(fan, on="image_id").assign(side=1)
+        return out[cols]
+
+    new_tiles = _blocked(new_tab).map_batches(ImageTileStage, **tile_kw) \
+        .map_batches(tag_new, batch_format="pandas")
+    ref_tiles = _blocked(ref_tab).map_batches(ImageTileStage, **tile_kw) \
+        .map_batches(explode_ref, batch_format="pandas")
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        m = a.merge(b, on=["pair", "ty", "tx"], suffixes=("_n", "_r"))
+        d2 = ((m["r_milli_n"] - m["r_milli_r"]) ** 2
+              + (m["g_milli_n"] - m["g_milli_r"]) ** 2
+              + (m["b_milli_n"] - m["b_milli_r"]) ** 2)
+        na = a.groupby("pair").size()
+        nb = b.groupby("pair").size().reindex(na.index, fill_value=0)
+        nm = m.groupby("pair").size().reindex(na.index, fill_value=0)
+        sse = d2.groupby(m["pair"]).sum().reindex(na.index, fill_value=0)
+        return pd.DataFrame({
+            "pair": na.index,
+            "grid_ok": ((na == nb) & (na == nm)).values,
+            "n_common": nm.values.astype("int64"),
+            "sse_raw": sse.values.astype("int64")})
+
+    st = _part_apply(new_tiles.union(ref_tiles), ["pair"],
+                     per_pair).to_pandas()
+    # candidate-bounded driver finish: attach ref_id, apply sentinels
+    out = pairs.merge(st, left_on="image_id", right_on="pair",
+                      how="left")
+    grid = out["grid_ok"].fillna(False).astype(bool).to_numpy()
+    n_samples = np.where(
+        grid, 3 * out["n_common"].fillna(0).astype("int64"), 0) \
+        .astype(np.int64)
+    sse = np.where(grid, out["sse_raw"].fillna(0).astype("int64"), -1) \
+        .astype(np.int64)
+    with np.errstate(divide="ignore"):
+        psnr = 10.0 * np.log10(
+            (255_000 * 255_000 * n_samples).astype(np.float64)
+            / np.maximum(sse, 1).astype(np.float64))
+    psnr = np.floor(psnr * 1e6 + 0.5) / 1e6
+    psnr = np.where(grid & (sse > 0), psnr, -1.0)
+    verified = grid & ((sse == 0) | (psnr >= min_psnr_db))
+    res = pd.DataFrame({
+        "image_id": out["image_id"], "ref_id": out["ref_id"],
+        "n_samples": n_samples, "sse": sse, "psnr_db": psnr,
+        "verified": verified})
+    return res.sort_values("image_id").reset_index(drop=True)
 
 
 _ASPECT_LADDER_MILLI = (500, 667, 750, 1000, 1333, 1500, 2000)
@@ -1825,7 +2063,7 @@ def image_aspect_bucket_pack(sf_dir: str,
 
     # pin once: both the partials pass and the final scan read the
     # assigned rows — without this the assign map runs twice
-    cts = rd.from_arrow(meta).map_batches(
+    cts = _blocked(meta).map_batches(
         assign, batch_format="pyarrow").materialize()
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -1895,7 +2133,7 @@ def audio_features(sf_dir: str):
 
     tier = effective_tier(sf_dir)
     n = _SCALES.get(tier, _DEFAULT_SCALE)[2]
-    ds = rd.from_arrow(_audio_corpus(n)).map_batches(
+    ds = _blocked(_audio_corpus(n)).map_batches(
         AudioFeatureStage,
         fn_constructor_kwargs={"codec": "wav", "n_bands": 4},
         batch_format="pyarrow", batch_size=32, concurrency=2)
@@ -1967,7 +2205,7 @@ def video_frames(sf_dir: str):
 
     tier = effective_tier(sf_dir)
     n = max(_SCALES.get(tier, _DEFAULT_SCALE)[2] // 4, 4)
-    ds = rd.from_arrow(_video_corpus(n)).map_batches(
+    ds = _blocked(_video_corpus(n)).map_batches(
         VideoFrameSampleStage,
         fn_constructor_kwargs={"codec": "y4m", "stride": 10},
         batch_format="pyarrow", batch_size=8, concurrency=2)
@@ -2234,7 +2472,7 @@ def image_thumbnails(sf_dir: str):
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     corpus = build_corpus_rows(nc)
-    ds = rd.from_arrow(corpus).map_batches(
+    ds = _blocked(corpus).map_batches(
         ImageResizeStage,
         fn_constructor_kwargs={"target_w": 32, "target_h": 32},
         batch_format="pyarrow", batch_size=32, concurrency=2)
@@ -2265,7 +2503,7 @@ def image_decode_stats(sf_dir: str):
     tier = effective_tier(sf_dir)
     nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
     corpus = build_corpus_rows(nc)
-    ds = rd.from_arrow(corpus)
+    ds = _blocked(corpus)
 
     def decode(batch: pa.Table) -> pa.Table:
         fmts, ok_decode, ok_phash, ok_psnr = [], [], [], []

@@ -39,8 +39,29 @@ def caption_for(idx: int, seed: int = 42) -> str:
     return f"caption of img{idx:08d}: " + " ".join(_VOCAB[int(w)] for w in words)
 
 
+# process-level memo: the procedural generate+encode+phash loop is
+# ~6 ms/image of serial driver work, and a contract/bench process calls
+# build_corpus_rows once per image query — the table is immutable, so
+# cache it per parameter tuple (bounded: corpora are <= a few thousand
+# rows of <= 50 KiB blobs; distinct tuples per process are ~1-2)
+_ROWS_CACHE: dict = {}
+
+
 def build_corpus_rows(n: int, seed: int = 42, start: int = 0,
                       min_size: int = 32, max_size: int = 128) -> pa.Table:
+    key = (n, seed, start, min_size, max_size)
+    cached = _ROWS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = _build_corpus_rows(n, seed, start, min_size, max_size)
+    if len(_ROWS_CACHE) >= 4:
+        _ROWS_CACHE.clear()
+    _ROWS_CACHE[key] = out
+    return out
+
+
+def _build_corpus_rows(n: int, seed: int = 42, start: int = 0,
+                       min_size: int = 32, max_size: int = 128) -> pa.Table:
     ids, blobs, ws, hs, fmts, caps, phashes = [], [], [], [], [], [], []
     for idx in range(start, start + n):
         img = ic.procedural_image(idx, seed=seed,

@@ -455,3 +455,26 @@ def test_politeness_audit_conformance(ray_session):
     assert (single["min_gap_ms"] == -1).all()
     # both robots-specified and default delays must appear in the world
     assert got["delay_ms"].nunique() >= 2
+
+
+def test_dedup_psnr_verify_accepts_reencodes(ray_session):
+    """Every QJPG re-encode pair from the dedup-vs-reference candidate
+    join must survive pixel verification (re-encodes of the same photo
+    clear 25 dB at patch-grid resolution by a wide margin), with exact
+    grid agreement and sane sentinels."""
+    from ieps_crawler_ray.pipelines.flagship import image_dedup_psnr_verify
+
+    got = image_dedup_psnr_verify("/root/testdata/sf0.001")
+    assert len(got) > 0
+    cpy = got[got["image_id"].str.startswith("cpy")]
+    assert len(cpy) > 0
+    # every candidate pair here is a true re-encode: all verified
+    assert bool(cpy["verified"].all())
+    # pair ids line up (cpyNNN matched to imgNNN)
+    assert (cpy["image_id"].str[3:] == cpy["ref_id"].str[3:]).all()
+    lossy = cpy[cpy["sse"] > 0]
+    if len(lossy):
+        assert (lossy["psnr_db"] >= 25.0).all()
+        assert (lossy["n_samples"] > 0).all()
+    lossless = cpy[cpy["sse"] == 0]
+    assert (lossless["psnr_db"] == -1.0).all()
