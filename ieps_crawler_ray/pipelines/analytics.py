@@ -182,6 +182,64 @@ def events_hourly_activity(sf_dir: str):
         ["event_type", "hour_epoch_s"], {"n": ("event_type", "size")})
 
 
+def events_anomaly_hours(sf_dir: str):
+    """Hour-of-day traffic anomaly flags per event type (the ops-table
+    a pipeline monitor renders): each type's 24 hour-of-day buckets
+    (dense — silent hours count as 0) are scored against the type's own
+    hourly distribution and flagged when |z| ≥ 2.
+
+    DIVISION-FREE integer z-score so both engines are exact: with
+    s = Σ_h c_h and ss = Σ_h c_h² over the 24 buckets,
+    z² = (24·c_h − s)² / (24·ss − s²), so the flag is the pure-integer
+    predicate (24·c − s)² ≥ 4·(24·ss − s²) and no float ever forms.
+    A zero denominator (perfectly uniform type) flags nothing.
+
+    Scale shape: per-batch (type, hour) count partials → one
+    partition-wise groupby merge (≤ types×24 rows exchange) → the
+    per-type densify+score runs inside ``_part_apply(event_type)`` on a
+    24-long numpy vector. int64 is exact up to s ≈ 3·10⁹ events per
+    type; beyond that the kernel raises loudly rather than wrap (the
+    HUGEINT-partials upgrade is mechanical, same as crawl_statistics)."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "hour": us // 3_600_000_000 % 24, "n_events": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hour"], as_index=False).sum(),
+            preserve_index=False)
+
+    agg = _part_groupby_agg(ev.map_batches(partial, batch_format="pyarrow"),
+                            ["event_type", "hour"],
+                            {"n_events": ("n_events", "sum")})
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t, sub in g.groupby("event_type"):
+            cnt = np.zeros(24, dtype=np.int64)
+            cnt[sub["hour"].to_numpy()] = sub["n_events"].to_numpy()
+            s = int(cnt.sum())
+            if s > 3_000_000_000:
+                raise OverflowError(
+                    "per-type event count exceeds the int64-exact bound; "
+                    "upgrade the z-score partials to python-int/HUGEINT")
+            ss = int((cnt * cnt).sum())
+            den = 24 * ss - s * s
+            num = (24 * cnt - s) ** 2
+            frames.append(pd.DataFrame({
+                "event_type": t, "hour": np.arange(24, dtype=np.int64),
+                "n_events": cnt, "z2_num": num,
+                "z2_den": np.int64(den),
+                "anomalous": (den > 0) & (num >= 4 * den)}))
+        return pd.concat(frames, ignore_index=True)
+
+    out = _part_apply(agg, ["event_type"], per_type).to_pandas()
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def events_distinct_users(sf_dir: str):
     """count-distinct via two-level groupby (exact)."""
     ev = rd.read_parquet(_pq(sf_dir, "events"),
@@ -1654,6 +1712,34 @@ ORACLE_SQL = {
                ROUND(MIN(value), 2) AS min_value,
                ROUND(MAX(value), 2) AS max_value
         FROM events GROUP BY event_type
+    """,
+    "events_anomaly_hours": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) % 24 AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, CAST(h.h AS BIGINT) AS hour,
+                   COALESCE(c.n_events, 0) AS n_events
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT UNNEST(range(0, 24)) AS h) h
+            LEFT JOIN c ON c.event_type = t.event_type AND c.hour = h.h
+        ),
+        s AS (
+            SELECT event_type, SUM(n_events) AS s,
+                   SUM(n_events * n_events) AS ss
+            FROM grid GROUP BY event_type
+        )
+        SELECT g.event_type, g.hour, g.n_events,
+               CAST((24 * g.n_events - s.s) * (24 * g.n_events - s.s)
+                    AS BIGINT) AS z2_num,
+               CAST(24 * s.ss - s.s * s.s AS BIGINT) AS z2_den,
+               (24 * s.ss - s.s * s.s > 0
+                AND (24 * g.n_events - s.s) * (24 * g.n_events - s.s)
+                    >= 4 * (24 * s.ss - s.s * s.s)) AS anomalous
+        FROM grid g JOIN s USING (event_type)
     """,
     "events_hourly_activity": """
         SELECT event_type,

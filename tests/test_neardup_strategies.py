@@ -361,3 +361,47 @@ def test_crawl_link_components_strategy_parity(ray_session):
         local.sort_values("url").reset_index(drop=True),
         dist.sort_values("url").reset_index(drop=True))
     assert set(local["cluster_id"]).issubset(set(local["url"]))
+
+
+def test_events_anomaly_hours_planted_spike(ray_session, tmp_path):
+    """A type with one hot hour must flag exactly that hour; a
+    perfectly uniform type (zero variance) must flag nothing."""
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines import analytics as A
+
+    rows_ts, rows_type = [], []
+    base = pd.Timestamp("2024-01-01 00:00")
+    # spiky: 1 event in each of hours 0-22, 100 events in hour 23
+    for h in range(23):
+        rows_ts.append(base + pd.Timedelta(hours=h))
+        rows_type.append("spiky")
+    for _ in range(100):
+        rows_ts.append(base + pd.Timedelta(hours=23))
+        rows_type.append("spiky")
+    # uniform: 2 events in every hour
+    for h in range(24):
+        for _ in range(2):
+            rows_ts.append(base + pd.Timedelta(hours=h))
+            rows_type.append("uniform")
+    n = len(rows_ts)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(rows_type, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string())})
+    d = tmp_path / "anom"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = A.events_anomaly_hours(str(d))
+    assert len(out) == 48  # 2 types x dense 24 hours
+    sp = out[out["event_type"] == "spiky"].set_index("hour")
+    assert bool(sp.loc[23, "anomalous"])
+    assert int(sp["anomalous"].sum()) == 1      # only the spike hour
+    un = out[out["event_type"] == "uniform"]
+    assert (un["z2_den"] == 0).all()
+    assert not un["anomalous"].any()
+    # cross-check one score by hand: s=123, c=100 -> num=(2400-123)^2
+    assert int(sp.loc[23, "z2_num"]) == (24 * 100 - 123) ** 2
