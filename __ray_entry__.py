@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_running_sum": A.user_value_running_sum,
         "events_value_quantiles": A.events_value_quantiles,
         "doc_hash_sample": A.doc_hash_sample,
+        "doc_weighted_sample": A.doc_weighted_sample,
         "doc_stratified_sample": A.doc_stratified_sample,
         "doc_train_val_test_split": A.doc_train_val_test_split,
         "corpus_ngram_counts": A.corpus_ngram_counts,

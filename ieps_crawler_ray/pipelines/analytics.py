@@ -340,6 +340,43 @@ def doc_hash_sample(sf_dir: str, mod: int = 10):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def doc_weighted_sample(sf_dir: str, k: int = 50):
+    """Weighted sampling WITHOUT replacement via the one-pass A-Res
+    reservoir (Efraimidis & Spirakis 2006): each doc draws the
+    deterministic uniform u = (md5₆₄('wsamp:'||doc_id)+1)/2⁶⁴ and the
+    k docs with the largest priority ln(u)/n_chars win — equivalent to
+    ranking by u^(1/w), so inclusion probability scales with doc
+    length. Deterministic given the hash, so the SQL oracle replays the
+    identical expression (both engines evaluate LN on bit-identical
+    doubles; the ranking compares those identical doubles, and the
+    exported key is micro-floored only for display).
+
+    Scale shape: the distributed reservoir — per-block vectorized keys
+    + per-block top-k, then a global sort over ≤ blocks×k rows (the
+    global top-k is a subset of the union of block top-ks). One pass,
+    no corpus-wide shuffle."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"],
+                         override_num_blocks=8)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"] > 0]
+        if not len(b):
+            return b.assign(key=pd.Series(dtype="float64"))
+        h = np.array([T._h64_md5(f"wsamp:{i}") for i in b["doc_id"]],
+                     dtype=np.uint64)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        b = b.assign(key=np.log(u) / b["n_chars"].astype(np.float64))
+        return b.sort_values(["key", "doc_id"],
+                             ascending=[False, True]).head(k)
+
+    out = ds.map_batches(local_topk, batch_format="pandas") \
+        .sort(["key", "doc_id"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    out["key_micro"] = np.floor(out["key"] * 1e6 + 0.5).astype("int64")
+    return out[["doc_id", "n_chars", "key_micro"]]
+
+
 def doc_train_val_test_split(sf_dir: str, val_permille: int = 100,
                              test_permille: int = 100):
     """Deterministic 3-way train/val/test assignment (the reproducible
@@ -1963,6 +2000,19 @@ ORACLE_SQL = {
         GROUP BY e.event_type, b.band
     """,
     "doc_fingerprints": _FINGERPRINT_SQL,
+    "doc_weighted_sample": """
+        WITH p AS (
+            SELECT doc_id, n_chars,
+                   LN((CAST(md5_number_lower(
+                           'wsamp:' || CAST(doc_id AS VARCHAR))
+                        AS DOUBLE) + 1) / 18446744073709551616.0)
+                   / CAST(n_chars AS DOUBLE) AS key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(key * 1e6 + 0.5) AS BIGINT) AS key_micro
+        FROM p ORDER BY key DESC, doc_id LIMIT 50
+    """,
     "doc_hash_sample": """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 0

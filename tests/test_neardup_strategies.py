@@ -405,3 +405,20 @@ def test_events_anomaly_hours_planted_spike(ray_session, tmp_path):
     assert not un["anomalous"].any()
     # cross-check one score by hand: s=123, c=100 -> num=(2400-123)^2
     assert int(sp.loc[23, "z2_num"]) == (24 * 100 - 123) ** 2
+
+
+def test_weighted_sample_is_deterministic_and_length_biased(ray_session):
+    """A-Res weighted sample: identical across runs, k rows, and the
+    winners skew long (inclusion probability scales with n_chars)."""
+    from ieps_crawler_ray.pipelines import analytics as A
+
+    sf = "/root/testdata/sf0.001"
+    a = A.doc_weighted_sample(sf, k=20)
+    b = A.doc_weighted_sample(sf, k=20)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 20
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["n_chars"])
+    assert a["n_chars"].mean() > docs["n_chars"].mean()
+    # keys are sorted best-first and strictly decreasing (distinct hashes)
+    assert (a["key_micro"].diff().dropna() <= 0).all()
