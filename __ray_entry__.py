@@ -74,12 +74,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_stats": F.crawl_host_stats,
         "crawl_politeness_audit": F.crawl_politeness_audit,
         "crawl_link_components": F.crawl_link_components,
+        "crawl_link_triangles": F.crawl_link_triangles,
         "image_caption_dedup": F.image_caption_dedup,
         "image_caption_align": F.image_caption_align,
         "audio_features": F.audio_features,
         "video_frames": F.video_frames,
         # corpus quality filtering / packing (round-3; SQL-checked)
-        "doc_gopher_quality": Q.doc_gopher_quality,
         "corpus_vocab_growth": Q.corpus_vocab_growth,
         "doc_dup_ngram_spans": Q.doc_dup_ngram_spans,
         "doc_pack_sequences": Q.doc_pack_sequences,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contamination moved past the cap in round 4 to keep the new
         # crawl/image-family audits inside it) ---
         "events_value_quantile_sketch": A.events_value_quantile_sketch,
+        "doc_gopher_quality": Q.doc_gopher_quality,
         "doc_unigram_logprob": Q.doc_unigram_logprob,
         "doc_ngram_novelty": Q.doc_ngram_novelty,
         "doc_benchmark_contamination": Q.doc_benchmark_contamination,

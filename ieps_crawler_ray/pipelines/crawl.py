@@ -623,6 +623,17 @@ class _DupOverlayStage:
         return _overlay_page_type(batch, merged)
 
 
+def _bytes_blocks(paths) -> int:
+    """Read-task count sized by file BYTES (~64 MiB per task), floored
+    at 8. The crawl sink writes one file per (generation, dpart), so a
+    default one-block-per-file read hands every downstream exchange
+    hundreds of near-empty blocks and the per-block × per-partition
+    split overhead dominates (measured: read_links 129 s → 6 s at
+    sf0.1). At real scale the same rule yields full-size blocks, so
+    this is not a fixed sandbox constant."""
+    return max(8, sum(os.path.getsize(p) for p in paths) // (64 << 20))
+
+
 def read_pages(out_dir: str) -> rd.Dataset:
     """Final pages table: kind-0 rows plus stored DISALLOWED image/data
     rows, with content-hash DUPLICATE labels overlaid. Adaptive plan:
@@ -633,8 +644,9 @@ def read_pages(out_dir: str) -> rd.Dataset:
     shuffle of the page payload)."""
     paths = _fetched_paths(out_dir)
     ds = rd.read_parquet(
-        paths, filter=((pc.field("kind") == 0) |
-                       (~pc.field("allowed") & pc.field("stores_page"))))
+        paths, override_num_blocks=_bytes_blocks(paths),
+        filter=((pc.field("kind") == 0) |
+                (~pc.field("allowed") & pc.field("stores_page"))))
     dup_files = _dup_override_files(out_dir)
     if not dup_files:
         return ds
@@ -663,19 +675,23 @@ def read_pages(out_dir: str) -> rd.Dataset:
 
 
 def read_images(out_dir: str) -> rd.Dataset:
+    paths = _fetched_paths(out_dir)
     return rd.read_parquet(
-        _fetched_paths(out_dir),
+        paths, override_num_blocks=_bytes_blocks(paths),
         filter=((pc.field("kind") == 1) & pc.field("allowed")))
 
 
 def read_page_data(out_dir: str) -> rd.Dataset:
+    paths = _fetched_paths(out_dir)
     return rd.read_parquet(
-        _fetched_paths(out_dir),
+        paths, override_num_blocks=_bytes_blocks(paths),
         filter=((pc.field("kind") == 2) & pc.field("allowed")))
 
 
 def read_order(out_dir: str) -> rd.Dataset:
-    return rd.read_parquet(_fetched_paths(out_dir),
+    paths = _fetched_paths(out_dir)
+    return rd.read_parquet(paths,
+                           override_num_blocks=_bytes_blocks(paths),
                            columns=["domain", "seq", "url", "kind"])
 
 
@@ -700,9 +716,12 @@ def read_links(out_dir: str) -> rd.Dataset:
                   for f in files if f.endswith(".parquet"))
     cand = rd.read_parquet(
         gens, columns=["parent_url", "url"],
+        override_num_blocks=_bytes_blocks(gens),
         filter=((pc.field("kind") == 0) & pc.field("parent_url").is_valid()))
+    _fp = _fetched_paths(out_dir)
     dis = rd.read_parquet(
-        _fetched_paths(out_dir), columns=["parent_url", "url"],
+        _fp, columns=["parent_url", "url"],
+        override_num_blocks=_bytes_blocks(_fp),
         filter=((pc.field("kind") != 0) & ~pc.field("allowed")
                 & pc.field("parent_url").is_valid()))
     pairs = cand.select_columns(["parent_url", "url"]).union(
@@ -711,6 +730,7 @@ def read_links(out_dir: str) -> rd.Dataset:
     fetched = _fetched_paths(out_dir)
     page_urls = rd.read_parquet(
         fetched, columns=["url"],
+        override_num_blocks=_bytes_blocks(fetched),
         filter=((pc.field("kind") == 0) |
                 (~pc.field("allowed") & pc.field("stores_page"))))
 

@@ -422,3 +422,25 @@ def test_weighted_sample_is_deterministic_and_length_biased(ray_session):
     assert a["n_chars"].mean() > docs["n_chars"].mean()
     # keys are sorted best-first and strictly decreasing (distinct hashes)
     assert (a["key_micro"].diff().dropna() <= 0).all()
+
+
+def test_link_triangles_match_bruteforce(ray_session):
+    """Degree-ordered wedge semi-join count == independent brute force
+    (per-edge common-neighbor intersection, each triangle counted at
+    its three edges) over the same undirected edge set."""
+    from ieps_crawler_ray.pipelines.flagship import (crawl_link_triangles,
+                                                     crawl_links)
+
+    sf = "/root/testdata/sf0.001"
+    got = crawl_link_triangles(sf)
+    links = crawl_links(sf)
+    es = {tuple(sorted((p, u)))
+          for p, u in zip(links["parent_url"], links["url"]) if p != u}
+    adj: dict = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(len(adj[a] & adj[b]) for a, b in es) // 3
+    assert int(got.loc[0, "n_edges"]) == len(es)
+    assert int(got.loc[0, "n_triangles"]) == brute
+    assert brute > 0  # non-vacuous on this world
