@@ -352,3 +352,20 @@ def test_table_io_parquet_roundtrip_and_lance_gate(tmp_path):
             tio.write_table(t, str(tmp_path / "t.lance"))
         with _pytest.raises(NotImplementedError):
             tio.read_table(str(tmp_path / "t.lance"))
+
+
+def test_bytes_blocks_scales_with_file_bytes(tmp_path):
+    """Read-task sizing: floored at 8 for small outputs, grows ~linearly
+    with bytes so exchanges never see hundreds of near-empty blocks."""
+    from ieps_crawler_ray.pipelines.crawl import _bytes_blocks
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)
+    assert _bytes_blocks([str(small)]) == 8
+    import os
+
+    big = tmp_path / "big.bin"
+    big.touch()
+    os.truncate(big, 1 << 30)  # sparse 1 GiB
+    assert _bytes_blocks([str(big)]) == 16
+    assert _bytes_blocks([str(big), str(small)]) == 16

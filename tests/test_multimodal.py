@@ -478,3 +478,20 @@ def test_dedup_psnr_verify_accepts_reencodes(ray_session):
         assert (lossy["n_samples"] > 0).all()
     lossless = cpy[cpy["sse"] == 0]
     assert (lossless["psnr_db"] == -1.0).all()
+
+
+def test_blocked_preserves_rows_and_splits(ray_session):
+    """_blocked must be a pure re-blocking: same rows, real block
+    parallelism for the downstream stages."""
+    from ieps_crawler_ray.pipelines.flagship import _blocked
+    from ieps_crawler_ray.sources.corpus import build_corpus_rows
+
+    tbl = build_corpus_rows(70)
+    ds = _blocked(tbl, rows_per_block=32)
+    assert ds.num_blocks() == 3  # 32 + 32 + 6
+    got = ds.to_pandas().sort_values("image_id").reset_index(drop=True)
+    want = tbl.to_pandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # small tables stay single-block (no pointless task fan-out)
+    assert _blocked(build_corpus_rows(8), rows_per_block=32) \
+        .num_blocks() == 1
