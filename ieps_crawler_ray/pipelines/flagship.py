@@ -611,11 +611,26 @@ def crawl_oracle_sql(tier: str) -> dict:
             FROM read_parquet('{_X}/links.parquet')
             WHERE from_url <> to_url
         )
-        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
-               (SELECT CAST(COUNT(*) AS BIGINT)
-                FROM e e1
-                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
-                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+        , deg AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY v
+        ),
+        agg AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+                    FROM deg) AS n_wedges,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+                       AS n_triangles
+        )
+        SELECT n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN CAST(3000000 * n_triangles // n_wedges AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS clustering_micro
+        FROM agg
     """,
     "image_dedup_psnr_verify": f"""
         WITH best AS (
@@ -887,8 +902,10 @@ def crawl_link_triangles(sf_dir: str):
     endpoint degrees to edges, ④ wedges ⋈ oriented edges on the closing
     pair. The triangle count is orientation-invariant, so the SQL
     oracle counts the same triangles with a lexicographic a<b<c
-    three-way self-join instead. Returns one row (n_edges,
-    n_triangles) — both orientation-free quantities."""
+    three-way self-join instead. Returns one row (n_edges, n_wedges,
+    n_triangles, clustering_micro) — all orientation-free quantities;
+    the global clustering coefficient is the integer micro ratio
+    3·triangles·10⁶ // wedges (wedges = Σ_v d(d−1)/2)."""
     from .analytics import _part_apply, _part_groupby_agg
 
     links = C.read_links(_crawled(sf_dir)) \
@@ -1004,8 +1021,19 @@ def crawl_link_triangles(sf_dir: str):
     closed = _part_apply(tagged_w.union(tagged_e), ["x", "y"],
                          count_close, n_parts=np_).to_pandas()
     n_tri = int(closed["n"].sum()) if len(closed) else 0
-    return pd.DataFrame({"n_edges": pd.array([n_edges], dtype="int64"),
-                         "n_triangles": pd.array([n_tri], dtype="int64")})
+    # wedge total Σ d(d-1)/2 — per-partition integer partials over the
+    # (node-bounded) degree table, driver-summed
+    wp = deg.map_batches(
+        lambda d: pd.DataFrame(
+            {"w": [int((d["deg"] * (d["deg"] - 1) // 2).sum())]}),
+        batch_format="pandas").to_pandas()
+    n_wedges = int(wp["w"].sum()) if len(wp) else 0
+    cc = 3_000_000 * n_tri // n_wedges if n_wedges else -1
+    return pd.DataFrame({
+        "n_edges": pd.array([n_edges], dtype="int64"),
+        "n_wedges": pd.array([n_wedges], dtype="int64"),
+        "n_triangles": pd.array([n_tri], dtype="int64"),
+        "clustering_micro": pd.array([cc], dtype="int64")})
 
 
 def crawl_images(sf_dir: str):

@@ -441,6 +441,10 @@ def test_link_triangles_match_bruteforce(ray_session):
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
     brute = sum(len(adj[a] & adj[b]) for a, b in es) // 3
+    wedges = sum(len(nb) * (len(nb) - 1) // 2 for nb in adj.values())
     assert int(got.loc[0, "n_edges"]) == len(es)
     assert int(got.loc[0, "n_triangles"]) == brute
+    assert int(got.loc[0, "n_wedges"]) == wedges
+    assert int(got.loc[0, "clustering_micro"]) \
+        == 3_000_000 * brute // wedges
     assert brute > 0  # non-vacuous on this world
