@@ -142,13 +142,23 @@ def orders_by_nation(sf_dir: str):
 
 
 def top_customers_by_spend(sf_dir: str):
-    """sort + limit (top-k) with deterministic tie-break."""
+    """sort + limit (top-k) with deterministic tie-break. Two-level
+    top-k: after the per-customer groupby each key lives in exactly one
+    partition, so the global top-10 is a subset of the per-block
+    top-10s — the final sort sees blocks×10 rows, never the customer
+    count."""
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
     agg = _part_groupby_agg(orders, ["o_custkey"],
                             {"total_spend": ("o_totalprice", "sum")})
-    top = agg.sort(["total_spend", "o_custkey"],
-                   descending=[True, False]).limit(10).to_pandas()
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["total_spend", "o_custkey"],
+                             ascending=[False, True]).head(10)
+
+    top = agg.map_batches(local_topk, batch_format="pandas") \
+        .sort(["total_spend", "o_custkey"],
+              descending=[True, False]).limit(10).to_pandas()
     top["total_spend"] = top["total_spend"].round(2)
     return top[["o_custkey", "total_spend"]]
 
