@@ -992,18 +992,31 @@ def crawl_link_triangles(sf_dir: str):
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         # all out-neighbor pairs per src, emitted in the SAME total
-        # order so the closing pair matches an oriented edge exactly
-        frames = []
-        for _src, sub in g.groupby("src"):
-            nb = sub.sort_values(["deg_dst", "dst"])["dst"].to_numpy()
-            if len(nb) < 2:
+        # order so the closing pair matches an oriented edge exactly.
+        # Vectorized per DISTINCT GROUP SIZE, not per src: every group
+        # of oriented out-degree s contributes its pairs via one
+        # (n_groups × s) gather + triu index — the only python loop is
+        # over distinct sizes, bounded by the max oriented out-degree
+        # (O(√m) under the degree ordering), never by the src count
+        g = g.sort_values(["src", "deg_dst", "dst"], ignore_index=True)
+        codes, _ = pd.factorize(g["src"], sort=False)
+        sizes = np.bincount(codes)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        dst = g["dst"].to_numpy()
+        xs, ys = [], []
+        for s in np.unique(sizes):
+            if s < 2:
                 continue
-            iu = np.triu_indices(len(nb), k=1)
-            frames.append(pd.DataFrame({"x": nb[iu[0]], "y": nb[iu[1]]}))
-        if not frames:
+            sel = starts[sizes == s]
+            members = dst[sel[:, None] + np.arange(s)[None, :]]
+            iu = np.triu_indices(s, k=1)
+            xs.append(members[:, iu[0]].ravel())
+            ys.append(members[:, iu[1]].ravel())
+        if not xs:
             return pd.DataFrame({"x": pd.Series(dtype=object),
                                  "y": pd.Series(dtype=object)})
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys)})
 
     w = _part_apply(oriented, ["src"], wedges, n_parts=np_)
 
