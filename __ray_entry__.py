@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": Q.doc_pii_redact,
         "doc_simhash": A.doc_simhash,
         "events_anomaly_hours": A.events_anomaly_hours,
+        "events_value_trend": A.events_value_trend,
         "events_sliding_window": A.events_sliding_window,
         "events_type_stats_salted": A.events_type_stats_salted,
         "events_top_users_per_type": A.events_top_users_per_type,

@@ -250,6 +250,57 @@ def events_anomaly_hours(sf_dir: str):
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
+def events_value_trend(sf_dir: str):
+    """Per-type value drift: grouped OLS slope of event value (cents)
+    against the absolute hour index — the textbook distributed
+    regression: every block emits the five cross-moment partials
+    (n, Σx, Σy, Σxy, Σx²) per type, the driver merges them as exact
+    python ints (type-bounded rows), and the only division is the
+    final micro-slope — HUGEINT TRUNC division in SQL (DuckDB ``//``
+    truncates toward zero) emulated in python by a sign split.
+    slope_micro = trunc((n·Σxy − Σx·Σy)·10⁶ / (n·Σx² − (Σx)²)) in
+    micro-cents per hour; a zero denominator (all events in one hour)
+    reports the 0 sentinel."""
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("ts").cast(pa.int64()).to_numpy() \
+            // 3_600_000_000
+        y = np.floor(batch.column("value").to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(),
+            preserve_index=False)
+
+    rows = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # python-int merge: per-block partials are int64-safe, corpus
+    # totals need not be
+    merged = rows.astype({c: object for c in
+                          ["n", "sx", "sy", "sxy", "sxx"]}) \
+        .groupby("event_type", as_index=False).sum()
+
+    def tdiv(a: int, b: int) -> int:
+        s = -1 if (a < 0) != (b < 0) else 1
+        return s * (abs(a) // abs(b))
+
+    out = []
+    for _, r in merged.iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        out.append((r["event_type"], n,
+                    tdiv(num * 1_000_000, den) if den else 0))
+    res = pd.DataFrame(out, columns=["event_type", "n_events",
+                                     "slope_micro"])
+    return res.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_events": "int64", "slope_micro": "int64"})
+
+
 def events_distinct_users(sf_dir: str):
     """count-distinct via two-level groupby (exact)."""
     ev = rd.read_parquet(_pq(sf_dir, "events"),
@@ -1759,6 +1810,26 @@ ORACLE_SQL = {
                ROUND(MIN(value), 2) AS min_value,
                ROUND(MAX(value), 2) AS max_value
         FROM events GROUP BY event_type
+    """,
+    "events_value_trend": """
+        WITH r AS (
+            SELECT event_type,
+                   CAST(FLOOR(EPOCH(ts) / 3600) AS HUGEINT) AS x,
+                   CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS y
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM r GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST((n * sxy - sx * sy) * 1000000
+                              // (n * sxx - sx * sx) AS BIGINT)
+               END AS slope_micro
+        FROM s
     """,
     "events_anomaly_hours": """
         WITH c AS (

@@ -448,3 +448,34 @@ def test_link_triangles_match_bruteforce(ray_session):
     assert int(got.loc[0, "clustering_micro"]) \
         == 3_000_000 * brute // wedges
     assert brute > 0  # non-vacuous on this world
+
+
+def test_events_value_trend_planted_slopes(ray_session, tmp_path):
+    """Exact planted slopes: +100 cents/hour, -50 cents/hour (exercises
+    the negative-numerator trunc-division protocol), flat -> 0."""
+    import pyarrow.parquet as pq
+
+    from ieps_crawler_ray.pipelines import analytics as A
+
+    base = pd.Timestamp("2024-01-01 00:00")
+    rows = []
+    for h in range(6):
+        rows.append(("up", base + pd.Timedelta(hours=h), 1.00 * h))
+        rows.append(("down", base + pd.Timedelta(hours=h), -0.50 * h))
+        rows.append(("flat", base + pd.Timedelta(hours=h), 7.25))
+    n = len(rows)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string())})
+    d = tmp_path / "trend"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = A.events_value_trend(str(d)).set_index("event_type")
+    assert int(got.loc["up", "slope_micro"]) == 100_000_000
+    assert int(got.loc["down", "slope_micro"]) == -50_000_000
+    assert int(got.loc["flat", "slope_micro"]) == 0
+    assert (got["n_events"] == 6).all()
