@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_train_val_test_split": A.doc_train_val_test_split,
         "corpus_ngram_counts": A.corpus_ngram_counts,
         "embedding_centroids": A.embedding_centroids,
+        "embedding_norm_outliers": A.embedding_norm_outliers,
         "doc_text_normalize": A.doc_text_normalize,
         # text analysis (SQL-checked)
         "doc_lang_dist": A.doc_lang_dist,

@@ -1433,6 +1433,58 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.9,
     return _distinct_rows(cand, ["vec_a", "vec_b"])
 
 
+def embedding_norm_outliers(sf_dir: str, z_threshold: int = 3):
+    """Embedding-table hygiene: per-vector squared L2 norm and a
+    |z| ≥ ``z_threshold`` outlier flag against the corpus norm
+    distribution (broken/degenerate vectors are the first thing an
+    embedding pipeline audits). Fully integer cross-engine: elements
+    are milli-quantized FIRST (``floor(x·1000 + 0.5)`` — elementwise,
+    so no summation-order float drift can diverge the engines), the
+    squared norm is an order-free integer sum, and the flag is the
+    division-free predicate (n·v − s)² ≥ z²·(n·ss − s²) evaluated in
+    python ints / HUGEINT (the square exceeds int64 at corpus scale).
+
+    Scale shape: one map computes norms (materialized — vectors are
+    read once), per-block integer moment partials merge on the driver
+    (≤ one row per block), and the flag pass is a second map over the
+    norms with the three moments broadcast. No shuffle at all."""
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def norm2(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(M * 1000 + 0.5).astype(np.int64)
+        return pd.DataFrame({"vec_id": b["vec_id"].astype("int64"),
+                             "norm2_milli": (q * q).sum(axis=1)})
+
+    norms = ds.map_batches(norm2, batch_format="pandas").materialize()
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["norm2_milli"].to_numpy()
+        return pd.DataFrame({"n": [len(v)], "s": [int(v.sum())],
+                             "ss": [int((v * v).sum())]})
+
+    mp = norms.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(mp["n"].sum())
+    s = sum(int(x) for x in mp["s"])
+    ss = sum(int(x) for x in mp["ss"])
+    den = n * ss - s * s
+    z2 = z_threshold * z_threshold
+    mref = ray.put((n, s, den, z2))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        nn, sm, dn, zz = ray.get(mref)
+        # python-int row loop: (n·v − s)² overflows int64 at corpus
+        # scale; rows per batch are bounded so this stays off the
+        # hot path
+        out = [dn > 0 and (nn * int(v) - sm) ** 2 >= zz * dn
+               for v in b["norm2_milli"]]
+        return b.assign(outlier=pd.array(out, dtype=bool))
+
+    res = norms.map_batches(flag, batch_format="pandas").to_pandas()
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
 def knn_cosine(sf_dir: str, k: int = 3, n_queries: int = 5):
     """Brute-force cosine top-k similarity search: broadcast query matrix,
     per-batch float64 matmul partial top-k, tiny driver-side merge."""
@@ -2170,6 +2222,28 @@ ORACLE_SQL = {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+    """,
+    "embedding_norm_outliers": """
+        WITH v AS (
+            SELECT vec_id,
+                   CAST(list_aggregate(list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                  AS HUGEINT)
+                             * CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                                    AS HUGEINT)), 'sum') AS HUGEINT)
+                       AS n2
+            FROM embeddings
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(n2) AS s,
+                   SUM(n2 * n2) AS ss
+            FROM v
+        )
+        SELECT vec_id, CAST(n2 AS BIGINT) AS norm2_milli,
+               (s.n * s.ss - s.s * s.s > 0
+                AND (s.n * v.n2 - s.s) * (s.n * v.n2 - s.s)
+                    >= 9 * (s.n * s.ss - s.s * s.s)) AS outlier
+        FROM v, s
     """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id,

@@ -479,3 +479,35 @@ def test_events_value_trend_planted_slopes(ray_session, tmp_path):
     assert int(got.loc["down", "slope_micro"]) == -50_000_000
     assert int(got.loc["flat", "slope_micro"]) == 0
     assert (got["n_events"] == 6).all()
+
+
+def test_embedding_norm_outliers_planted(ray_session, tmp_path):
+    """A planted 10x-norm vector must be the only |z|>=3 outlier; a
+    constant-norm corpus (zero variance) must flag nothing."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    M = rng.normal(scale=0.1, size=(64, 16)).astype(np.float32)
+    M[7] *= 10.0  # the broken vector
+    t = pa.table({
+        "vec_id": pa.array(range(64), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32()))})
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    got = A.embedding_norm_outliers(str(d))
+    assert len(got) == 64
+    assert set(got[got["outlier"]]["vec_id"]) == {7}
+
+    ones = np.ones((16, 8), dtype=np.float32)
+    t2 = pa.table({
+        "vec_id": pa.array(range(16), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in ones],
+                              pa.list_(pa.float32()))})
+    d2 = tmp_path / "emb2"
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / "embeddings.parquet"))
+    got2 = A.embedding_norm_outliers(str(d2))
+    assert not got2["outlier"].any()
