@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": A.parts_by_brand,
         "part_type_diversity": A.part_type_diversity,
         "lineitem_monthly_volume": A.lineitem_monthly_volume,
+        "lineitem_pairwise_corr": A.lineitem_pairwise_corr,
     }
 
 

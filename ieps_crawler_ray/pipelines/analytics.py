@@ -2223,6 +2223,50 @@ ORACLE_SQL = {
         FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.e, b.e) >= 0.9
     """,
+    "lineitem_pairwise_corr": """
+        WITH c AS (
+            SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS HUGEINT) AS x0,
+                   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                       AS x1,
+                   CAST(FLOOR(l_discount * 100 + 0.5) AS HUGEINT) AS x2,
+                   CAST(FLOOR(l_tax * 100 + 0.5) AS HUGEINT) AS x3
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(x0) AS s0, SUM(x1) AS s1, SUM(x2) AS s2,
+                   SUM(x3) AS s3,
+                   SUM(x0*x0) AS ss0, SUM(x1*x1) AS ss1,
+                   SUM(x2*x2) AS ss2, SUM(x3*x3) AS ss3,
+                   SUM(x0*x1) AS c01, SUM(x0*x2) AS c02, SUM(x0*x3) AS c03, SUM(x1*x2) AS c12, SUM(x1*x3) AS c13, SUM(x2*x3) AS c23
+            FROM c
+        )
+        SELECT col_a, col_b, corr_micro FROM (
+            SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+                   CASE WHEN n*ss0 - s0*s0 > 0 AND n*ss1 - s1*s1 > 0 THEN CAST(FLOOR(CAST(n*c01 - s0*s1 AS DOUBLE) / (SQRT(CAST(n*ss0 - s0*s0 AS DOUBLE)) * SQRT(CAST(n*ss1 - s1*s1 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) ELSE CAST(-2000000 AS BIGINT) END AS corr_micro
+            FROM s
+            UNION ALL
+            SELECT 'quantity' AS col_a, 'discount' AS col_b,
+                   CASE WHEN n*ss0 - s0*s0 > 0 AND n*ss2 - s2*s2 > 0 THEN CAST(FLOOR(CAST(n*c02 - s0*s2 AS DOUBLE) / (SQRT(CAST(n*ss0 - s0*s0 AS DOUBLE)) * SQRT(CAST(n*ss2 - s2*s2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) ELSE CAST(-2000000 AS BIGINT) END AS corr_micro
+            FROM s
+            UNION ALL
+            SELECT 'quantity' AS col_a, 'tax' AS col_b,
+                   CASE WHEN n*ss0 - s0*s0 > 0 AND n*ss3 - s3*s3 > 0 THEN CAST(FLOOR(CAST(n*c03 - s0*s3 AS DOUBLE) / (SQRT(CAST(n*ss0 - s0*s0 AS DOUBLE)) * SQRT(CAST(n*ss3 - s3*s3 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) ELSE CAST(-2000000 AS BIGINT) END AS corr_micro
+            FROM s
+            UNION ALL
+            SELECT 'extendedprice' AS col_a, 'discount' AS col_b,
+                   CASE WHEN n*ss1 - s1*s1 > 0 AND n*ss2 - s2*s2 > 0 THEN CAST(FLOOR(CAST(n*c12 - s1*s2 AS DOUBLE) / (SQRT(CAST(n*ss1 - s1*s1 AS DOUBLE)) * SQRT(CAST(n*ss2 - s2*s2 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) ELSE CAST(-2000000 AS BIGINT) END AS corr_micro
+            FROM s
+            UNION ALL
+            SELECT 'extendedprice' AS col_a, 'tax' AS col_b,
+                   CASE WHEN n*ss1 - s1*s1 > 0 AND n*ss3 - s3*s3 > 0 THEN CAST(FLOOR(CAST(n*c13 - s1*s3 AS DOUBLE) / (SQRT(CAST(n*ss1 - s1*s1 AS DOUBLE)) * SQRT(CAST(n*ss3 - s3*s3 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) ELSE CAST(-2000000 AS BIGINT) END AS corr_micro
+            FROM s
+            UNION ALL
+            SELECT 'discount' AS col_a, 'tax' AS col_b,
+                   CASE WHEN n*ss2 - s2*s2 > 0 AND n*ss3 - s3*s3 > 0 THEN CAST(FLOOR(CAST(n*c23 - s2*s3 AS DOUBLE) / (SQRT(CAST(n*ss2 - s2*s2 AS DOUBLE)) * SQRT(CAST(n*ss3 - s3*s3 AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) ELSE CAST(-2000000 AS BIGINT) END AS corr_micro
+            FROM s
+        )
+    """,
     "embedding_norm_outliers": """
         WITH v AS (
             SELECT vec_id,
@@ -2266,6 +2310,62 @@ ORACLE_SQL = {
         SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 3
     """,
 }
+
+
+_CORR_COLS = (("quantity", "l_quantity"), ("extendedprice",
+              "l_extendedprice"), ("discount", "l_discount"),
+              ("tax", "l_tax"))
+
+
+def lineitem_pairwise_corr(sf_dir: str):
+    """Pairwise Pearson correlation over the four numeric lineitem
+    measures (the feature-screening matrix a modelling pass starts
+    from) in ONE distributed pass: every block emits the 14 integer
+    moment sums (n, four Σx, four Σx², six Σxy) over cents-quantized
+    values — transported as python-int strings because Σx² overflows
+    int64 at table scale (the ``crawl_stats`` wait-time protocol) —
+    and the driver merges exactly. Floats appear only in the final
+    six correlations, with the expression shape mirrored exactly in
+    SQL (``num/(sqrt(den_a)·sqrt(den_b))`` on HUGEINT→DOUBLE casts —
+    den_a·den_b would overflow even HUGEINT at 10¹⁰ rows, so the
+    sqrts multiply, not the dens), then micro-floored. A constant
+    column (zero variance) reports the −2·10⁶ sentinel."""
+    import math
+
+    names = [n for n, _ in _CORR_COLS]
+    cols = [c for _, c in _CORR_COLS]
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cs = [np.floor(b[c].to_numpy(dtype=np.float64) * 100 + 0.5)
+              .astype(np.int64).tolist() for c in cols]
+        row: dict = {"n": len(b)}
+        for i in range(4):
+            row[f"s{i}"] = str(sum(cs[i]))
+            row[f"ss{i}"] = str(sum(v * v for v in cs[i]))
+        for i, j in pairs:
+            row[f"c{i}{j}"] = str(sum(a * b_ for a, b_ in
+                                      zip(cs[i], cs[j])))
+        return pd.DataFrame({k: [v] for k, v in row.items()})
+
+    mp = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(mp["n"].sum())
+    s = [sum(int(x) for x in mp[f"s{i}"]) for i in range(4)]
+    ss = [sum(int(x) for x in mp[f"ss{i}"]) for i in range(4)]
+    cx = {(i, j): sum(int(x) for x in mp[f"c{i}{j}"]) for i, j in pairs}
+    den = [n * ss[i] - s[i] * s[i] for i in range(4)]
+    out = []
+    for i, j in pairs:
+        if den[i] > 0 and den[j] > 0:
+            corr = float(n * cx[(i, j)] - s[i] * s[j]) \
+                / (math.sqrt(float(den[i])) * math.sqrt(float(den[j])))
+            cm = int(math.floor(corr * 1e6 + 0.5))
+        else:
+            cm = -2_000_000
+        out.append((names[i], names[j], cm))
+    return pd.DataFrame(out, columns=["col_a", "col_b", "corr_micro"]) \
+        .astype({"corr_micro": "int64"})
 
 
 def revenue_by_orderpriority(sf_dir: str):

@@ -511,3 +511,27 @@ def test_embedding_norm_outliers_planted(ray_session, tmp_path):
     pq.write_table(t2, str(d2 / "embeddings.parquet"))
     got2 = A.embedding_norm_outliers(str(d2))
     assert not got2["outlier"].any()
+
+
+def test_lineitem_pairwise_corr_planted(ray_session, tmp_path):
+    """Planted correlations: price = 2*quantity -> +1, discount =
+    -quantity -> -1, constant tax -> sentinel."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    q = np.arange(1, 101, dtype=np.float64)
+    t = pa.table({
+        "l_quantity": pa.array(q, pa.float64()),
+        "l_extendedprice": pa.array(2 * q, pa.float64()),
+        "l_discount": pa.array(100 - q, pa.float64()),
+        "l_tax": pa.array(np.full(100, 0.05), pa.float64())})
+    d = tmp_path / "li"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    got = A.lineitem_pairwise_corr(str(d)).set_index(["col_a", "col_b"])
+    assert int(got.loc[("quantity", "extendedprice"),
+                       "corr_micro"]) == 1_000_000
+    assert int(got.loc[("quantity", "discount"),
+                       "corr_micro"]) == -1_000_000
+    assert int(got.loc[("quantity", "tax"), "corr_micro"]) == -2_000_000
+    assert len(got) == 6
