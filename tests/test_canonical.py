@@ -94,13 +94,28 @@ def test_canonical_query_nonidempotence_faithful():
     assert canonicalize(c1) == "http://a.gov.si/p?q=2//"
 
 
+def test_canonical_fragment_nonidempotence_faithful():
+    """Faithful reference quirk (hypothesis-discovered): the host
+    lowercasing at Canonical.scala:31 replaces EVERY occurrence of the
+    host substring, so an upper-case host that also appears in the
+    fragment lowercases the fragment BEFORE the ``replaceAll("#"+ref)``
+    at :34 looks for it — the (original-case) fragment then survives
+    the first pass, and the URI rebuild at :48 keeps getRef. A second
+    pass sees the now-lowercase fragment and strips it."""
+    c1 = canonicalize("A#A")
+    assert c1 == "http://a#a/"
+    assert canonicalize(c1) == "http://a/"
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
                max_size=60))
 def test_canonicalize_never_raises(s):
     c = canonicalize(s)
-    if c is not None and "?" not in c:
-        # idempotence on everything query-less that parses
+    if c is not None and "?" not in c and "#" not in c:
+        # idempotence on everything query-less and fragment-less that
+        # parses (queries AND surviving fragments are faithfully
+        # non-idempotent — see the two quirk tests above)
         assert canonicalize(c) == c
     extract_domain(s)  # never raises
 
