@@ -459,10 +459,24 @@ class CrawlDriver:
     def _run_loop(self, resume: bool) -> dict:
         cfg = self.cfg
         manifests = _read_manifests(cfg.out_dir) if resume else {}
+        # the TERMINAL empty round writes a manifest but (having produced
+        # no new state) no snapshot — restore from the newest gen that
+        # has one, and short-circuit a crawl that already finished
+        # instead of crashing on the missing snapshot / appending an
+        # extra empty terminal round per resume
+        snap_gens = [g for g in manifests if os.path.isdir(
+            os.path.join(cfg.out_dir, "state", f"gen={g}"))]
+        if manifests and not snap_gens:
+            manifests = {}  # nothing restorable: start fresh
         if manifests:
             last = max(manifests)
-            self._restore(last)
-            self.pages_total = manifests[last].get("pages_total", 0)
+            restore_gen = max(snap_gens)
+            self._restore(restore_gen)
+            self.pages_total = manifests[restore_gen].get("pages_total", 0)
+            term = manifests[last]
+            if term.get("candidates", 0) == 0 \
+                    and term.get("next_candidates", 0) == 0 and last > 0:
+                return {"rounds": last, "pages_total": self.pages_total}
             gen = last + 1
         else:
             self._write_gen0()

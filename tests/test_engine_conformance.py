@@ -246,3 +246,28 @@ def test_resume_after_mid_round_crash(world, oracle, ray_session):
     _assert_frames_equal(
         oracle["pages"].to_pandas(), e, ["url"],
         ["page_type", "http_status", "content_hash", "seq", "fetch_time"])
+
+
+def test_resume_of_completed_crawl_is_noop(world, oracle, ray_session):
+    """Resuming an ALREADY-FINISHED crawl must return the same totals
+    without crashing on the terminal round's snapshot-less manifest and
+    without appending extra terminal manifests (regression: the empty
+    terminal round writes a manifest but no state snapshot, and resume
+    restored from max(manifests))."""
+    import os
+
+    out4 = "/tmp/ieps_test_crawl_done"
+    shutil.rmtree(out4, ignore_errors=True)
+    r1 = C.run_crawl(world, CrawlConfig(out_dir=out4,
+                                        seeds=list(world.seeds)))
+    mans = sorted(os.listdir(os.path.join(out4, "manifest")))
+    r2 = C.run_crawl(world, CrawlConfig(out_dir=out4,
+                                        seeds=list(world.seeds)),
+                     resume=True)
+    assert r2["rounds"] == r1["rounds"]
+    assert r2["pages_total"] == r1["pages_total"]
+    assert sorted(os.listdir(os.path.join(out4, "manifest"))) == mans
+    e = C.read_pages(out4).to_pandas()
+    _assert_frames_equal(
+        oracle["pages"].to_pandas(), e, ["url"],
+        ["page_type", "http_status", "content_hash", "seq", "fetch_time"])
