@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": A.embedding_centroids,
         "embedding_norm_outliers": A.embedding_norm_outliers,
         "doc_text_normalize": A.doc_text_normalize,
+        "doc_roundtrip_jsonl": A.doc_roundtrip_jsonl,
         # text analysis (SQL-checked)
         "doc_lang_dist": A.doc_lang_dist,
         "doc_token_counts": A.doc_token_counts,

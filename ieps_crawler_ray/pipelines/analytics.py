@@ -1009,6 +1009,35 @@ _NORM_WS = re.compile(r"\s+")
 _NORM_CTRL = re.compile(r"[\x00-\x1f\x7f]")
 
 
+def doc_roundtrip_jsonl(sf_dir: str):
+    """Source-format breadth: stream the documents metadata out as
+    partitioned JSONL (``Dataset.write_json``) and read it back with
+    ``read_json`` — the interchange format crawl/labeling tools speak —
+    verifying the row set survives the round trip bit-exactly (the SQL
+    oracle reads the parquet side directly, so any engine-side
+    serialization drift hash-fails). Text stays out of the JSONL
+    projection: binary-ish payload columns belong in parquet/Lance,
+    sidecar metadata in JSONL — the split a real pipeline uses.
+
+    Scale shape: both legs stream block-wise (one JSONL file per
+    block, read back with byte-sized read tasks); nothing driver-side
+    but the final small projection."""
+    import shutil
+    import tempfile
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "source", "n_chars"])
+    out = tempfile.mkdtemp(prefix="ieps_jsonl_", dir="/tmp")
+    try:
+        ds.write_json(out)
+        back = rd.read_json(out).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    back = back.astype({"doc_id": "int64", "n_chars": "int64"})
+    return back.sort_values("doc_id").reset_index(drop=True) \
+        [["doc_id", "lang", "source", "n_chars"]]
+
+
 def doc_text_normalize(sf_dir: str):
     """Text cleaning stage (training-data prep): lowercase, strip control
     characters, collapse whitespace runs, trim. Pure per-batch transform
@@ -2133,6 +2162,9 @@ ORACLE_SQL = {
         GROUP BY e.event_type, b.band
     """,
     "doc_fingerprints": _FINGERPRINT_SQL,
+    "doc_roundtrip_jsonl": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+    """,
     "doc_weighted_sample": """
         WITH p AS (
             SELECT doc_id, n_chars,
