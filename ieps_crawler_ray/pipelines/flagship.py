@@ -1438,7 +1438,8 @@ def image_patch_psnr(sf_dir: str, q_milli: int = 8_000):
     worker, never pixels. Floats appear ONLY in the final per-image
     expression, on identical int64 operands in both engines (cast →
     divide → log10 → round6), so the SQL oracle replays it exactly from
-    the no-Ray tiles export. (Reference parity: the reference stores
+    the no-Ray tiles export (LOG10 rounding parity: see the
+    platform-assumption note on ``analytics.doc_weighted_sample``). (Reference parity: the reference stores
     raw image bytes unverified — ``db/CrawlerDIO.scala:157-166``; this
     is the fidelity audit a multimodal training corpus adds on top.)"""
     from ..stages.multimodal import ImageTileStage

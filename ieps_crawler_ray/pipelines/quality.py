@@ -511,6 +511,9 @@ def corpus_token_entropy(sf_dir: str):
     HUGEINT in SQL) and only the final entropy expression touches
     floats, on identical operands (double addition is NOT associative,
     so a naive SUM(c*log2(c)) could hash-diverge between engines).
+    "Identical doubles" assumes numpy's and DuckDB's LOG2 round alike
+    on the same operand — see the platform-assumption note on
+    ``analytics.doc_weighted_sample``.
 
     Scale shape: per-block Counter partials bound the exchange by
     vocabulary, not token count (same argument as
