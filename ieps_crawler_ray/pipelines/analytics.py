@@ -1268,7 +1268,8 @@ def _partitioned_bucket_pairs(exploded: "rd.Dataset", bucket_cols: list,
 
 
 def _part_apply(ds: "rd.Dataset", keys: list, fn,
-                n_parts: int | None = None) -> "rd.Dataset":
+                n_parts: int | None = None,
+                keep_part: bool = False) -> "rd.Dataset":
     """Hash-partition ``ds`` on ``keys`` and apply ``fn`` once per
     PARTITION (not per key group). The SAME exchange shape as
     ``groupby(keys)`` — every key group lands wholly in one partition —
@@ -1293,11 +1294,20 @@ def _part_apply(ds: "rd.Dataset", keys: list, fn,
     64 MiB⌉, CPU floor, no cap), and short-circuits a ZERO-ROW input by
     running ``fn`` once on a typed empty frame on the driver instead of
     sending a blockless dataset into the exchange (ADVICE r4: dropping
-    empty batches means an all-empty input loses its schema)."""
+    empty batches means an all-empty input loses its schema).
+
+    ``keep_part=True`` passes the internal ``part`` column (one value
+    per partition, in [0, n_parts)) through to ``fn`` — kernels that
+    need a coordination-free per-partition id namespace (e.g. the
+    dictionary-encode pass in ``crawl_link_triangles``: node id =
+    part·2⁴⁰ + local index) read it from their own rows."""
     if n_parts is None:
         ds, n_parts = _auto_parts(ds)
         if ds.count() == 0:
-            return rd.from_pandas(fn(_typed_empty(ds)))
+            empty = _typed_empty(ds)
+            if keep_part:
+                empty = empty.assign(part=pd.Series([], dtype="int64"))
+            return rd.from_pandas(fn(empty))
 
     def add_part(b: pd.DataFrame):
         if not len(b):
@@ -1311,7 +1321,7 @@ def _part_apply(ds: "rd.Dataset", keys: list, fn,
         yield b
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=["part"]))
+        return fn(g if keep_part else g.drop(columns=["part"]))
 
     return ds.map_batches(add_part, batch_format="pandas") \
         .groupby("part").map_groups(run, batch_format="pandas")

@@ -716,14 +716,17 @@ def read_order(out_dir: str) -> rd.Dataset:
 _LINKS_BROADCAST_LIMIT_BYTES = 64 * 1024 * 1024
 
 
-def read_links(out_dir: str) -> rd.Dataset:
+def read_links(out_dir: str, distinct: bool = True) -> rd.Dataset:
     """Distinct link edges: extraction pairs (kind-0 frontier candidates)
     plus disallowed image/data parent edges, semi-filtered to stored pages
     (both endpoints must be stored — ``CrawlerDIO.scala:137-156`` inserts
     edges only between inserted pages). Adaptive plan: broadcast the
     distinct page-URL column under ``_LINKS_BROADCAST_LIMIT_BYTES``, else
     two partitioned hash semi-joins (the only correct shape at 10^10
-    URLs)."""
+    URLs). ``distinct=False`` skips the final pair-dedup exchange for
+    consumers that dedup downstream anyway (the triangle kernel dedups
+    on int64 node-id pairs — deduping the same edges on url strings
+    first would be a wasted string shuffle)."""
     fr = os.path.join(out_dir, "frontier")
     gens = sorted(os.path.join(root, f)
                   for root, _d, files in os.walk(fr)
@@ -752,19 +755,23 @@ def read_links(out_dir: str) -> rd.Dataset:
         < _LINKS_BROADCAST_LIMIT_BYTES
     if small:
         # distinct computed distributed; only the (bounded) URL column is
-        # pulled back and shipped once via the object store
+        # pulled back and shipped once via the object store. The probe is
+        # a vectorized arrow is_in against the broadcast value set — no
+        # per-row python loop in the hot path
         from .analytics import _distinct_rows
         distinct = _distinct_rows(page_urls, ["url"])
-        urls_ref = ray.put(set(
-            u for b in distinct.iter_batches(batch_format="pyarrow")
-            for u in b.column("url").to_pylist()))
+        chunks = [b.column("url").combine_chunks()
+                  for b in distinct.iter_batches(batch_format="pyarrow")
+                  if b.num_rows]
+        urls_ref = ray.put(pa.concat_arrays(chunks) if chunks
+                           else pa.array([], type=pa.string()))
 
         def sem_filter(batch: pa.Table) -> pa.Table:
             urls = ray.get(urls_ref)
-            keep = [f in urls and t in urls
-                    for f, t in zip(batch.column("parent_url").to_pylist(),
-                                    batch.column("url").to_pylist())]
-            return batch.filter(pa.array(keep))
+            keep = pc.and_(
+                pc.is_in(batch.column("parent_url"), value_set=urls),
+                pc.is_in(batch.column("url"), value_set=urls))
+            return batch.filter(keep)
 
         pairs = pairs.map_batches(sem_filter, batch_format="pyarrow")
     else:
@@ -779,6 +786,8 @@ def read_links(out_dir: str) -> rd.Dataset:
         pairs = _semi_keep(pairs, "parent_url", page_urls)
         pairs = _semi_keep(pairs, "url", page_urls)
 
+    if not distinct:
+        return pairs
     # exact dedup on the edge pair (one hash-partitioned shuffle, one
     # vectorized drop_duplicates per partition — no per-edge group calls)
     from .analytics import _distinct_rows
