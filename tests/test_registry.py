@@ -19,6 +19,31 @@ def test_every_query_has_an_oracle(ray_session):
     assert not extra, f"oracles with no query: {extra}"
 
 
+# Long-stable family entries allowed past the driver's 50-cap: each was
+# driver-green three consecutive rounds (r2-r4) with unchanged code, and
+# was rotated out in round 5 so the 16 queries the driver had never
+# checked (VERDICT r4 item 3) fit inside the cap. check_contract still
+# re-verifies everything past the cap.
+ROTATED_OUT_R5 = {
+    "image_thumbnails", "image_augment", "image_quality_scores",
+    "image_tiles", "image_curation", "image_dedup_vs_reference",
+    "image_aspect_bucket_pack", "image_contrastive_negatives",
+    "image_cbir_knn", "image_phash_clusters", "crawl_image_diversity",
+    "crawl_host_stats", "image_caption_dedup", "image_caption_align",
+    "audio_features", "video_frames",
+}
+
+ROTATED_IN_R5 = (
+    "corpus_token_entropy", "embedding_kmeans", "events_retention_cohorts",
+    "events_type_cooccurrence", "corpus_summary_stats",
+    "events_markov_transitions", "corpus_mixture_sample", "doc_pii_redact",
+    "events_anomaly_hours", "events_value_trend",
+    "events_top_users_per_type", "doc_weighted_sample",
+    "doc_train_val_test_split", "embedding_norm_outliers",
+    "doc_roundtrip_jsonl", "lineitem_pairwise_corr",
+)
+
+
 def test_cap_covers_crawl_and_image_families(ray_session):
     import __ray_entry__ as e
 
@@ -26,9 +51,11 @@ def test_cap_covers_crawl_and_image_families(ray_session):
     first50 = set(q[:50])
     fam = [n for n in q if n.startswith(("crawl_", "image_",
                                          "audio_", "video_"))]
-    out = [n for n in fam if n not in first50]
+    out = [n for n in fam
+           if n not in first50 and n not in ROTATED_OUT_R5]
     assert not out, f"crawl/multimodal entries past the cap: {out}"
     for must in ("crawl_flagship", "image_phash_neardup", "crawl_pagerank",
-                 "events_asof_join", "events_distinct_users_hll",
-                 "minhash_lsh_neardup", "embedding_semdedup", "user_funnel"):
+                 "crawl_link_triangles", "events_asof_join",
+                 "events_distinct_users_hll", "minhash_lsh_neardup",
+                 "embedding_semdedup", "user_funnel") + ROTATED_IN_R5:
         assert must in first50, must
