@@ -28,6 +28,34 @@ _LANG_MARKERS = {
 }
 
 
+def arrow_tokens(texts, lower: bool = True):
+    """Vectorized ``TOKEN_RE``-equivalent tokenizer over an Arrow string
+    array: one RE2 ``\\W+`` split pass in C++, no per-document python
+    loop. Returns ``(tokens, parent_indices)`` — the flattened non-empty
+    token array and, for each token, the row index of the document it
+    came from (order-preserving within a document, so consecutive
+    entries with equal parent are consecutive tokens).
+
+    SEMANTICS NOTE: RE2's ``\\w`` is ASCII ``[0-9A-Za-z_]`` while
+    python ``re.UNICODE`` ``\\w`` also matches non-ASCII word chars; on
+    the all-ASCII corpus the two agree exactly, and the DuckDB oracles
+    tokenize with RE2 as well (``regexp_extract_all('\\w+')``), so the
+    arrow path matches the ORACLE's semantics even where python's
+    would diverge on non-ASCII input."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if lower:
+        texts = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(texts, r"\W+")
+    toks = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(toks, "")
+    return toks.filter(keep), parent.filter(keep)
+
+
 def tokens(text: str) -> list:
     return TOKEN_RE.findall(text)
 

@@ -516,12 +516,20 @@ def corpus_ngram_counts(sf_dir: str, top_k: int = 100):
                          override_num_blocks=8)
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            toks = T.TOKEN_RE.findall(t.lower())
-            c.update(" ".join(p) for p in zip(toks, toks[1:]))
-        return pa.table({"ngram": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        # vectorized bigrams: adjacent flattened tokens with the same
+        # parent row are consecutive tokens of one document — pair them
+        # with one shifted mask, join in arrow, count with value_counts
+        toks, parent = T.arrow_tokens(batch.column("text"))
+        if len(toks) < 2:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        p = parent.to_numpy(zero_copy_only=False)
+        same = pa.array(p[:-1] == p[1:])
+        lhs = toks.slice(0, len(toks) - 1).filter(same)
+        rhs = toks.slice(1).filter(same)
+        vc = pc.value_counts(pc.binary_join_element_wise(lhs, rhs, " "))
+        return pa.table({"ngram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     agg = _part_groupby_agg(ds.map_batches(partial, batch_format="pyarrow"),
                             ["ngram"], {"n": ("n", "sum")})
