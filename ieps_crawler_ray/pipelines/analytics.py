@@ -1196,6 +1196,17 @@ _PAIR_PARTITIONS = 64          # legacy explicit value; defaults are now
 _PART_TARGET_BYTES = 64 << 20  # ~64 MiB of partition input per task
 _PART_MIN = 8
 
+# Adaptive driver-local threshold for the partition-kernel helpers: a
+# sort exchange costs ~1-2 s of fixed scheduling/sampling latency no
+# matter how small the data, so when the MATERIALIZED input is tiny the
+# helper runs the kernel once on the driver instead (the same
+# adaptive-small-side pattern as `_clusters_adaptive` and the broadcast
+# joins: bounded → local, unbounded → exchange). Correctness is
+# unchanged by construction — the kernel contract is "any union of
+# whole key-groups", and driver-local is simply the 1-partition case.
+_PART_LOCAL_LIMIT_BYTES = 8 << 20
+_PART_LOCAL_LIMIT_ROWS = 200_000
+
 
 def _auto_parts(ds: "rd.Dataset") -> tuple["rd.Dataset", int]:
     """Materialize ``ds`` and derive an exchange partition count from its
@@ -1251,8 +1262,22 @@ def _partitioned_bucket_pairs(exploded: "rd.Dataset", bucket_cols: list,
     zero-row case by running ``pair_fn`` once on a typed empty frame."""
     if n_parts is None:
         exploded, n_parts = _auto_parts(exploded)
-        if exploded.count() == 0:
+        nrows = exploded.count()
+        if nrows == 0:
             return rd.from_pandas(pair_fn(_typed_empty(exploded)))
+        if nrows <= _PART_LOCAL_LIMIT_ROWS \
+                and (exploded.size_bytes() or 0) \
+                <= _PART_LOCAL_LIMIT_BYTES:
+            # tiny input: run the bucket-pair kernel driver-local (the
+            # 1-partition case) instead of paying a fixed-cost exchange
+            g = exploded.to_pandas()
+            g = g[g.duplicated(bucket_cols, keep=False)]
+            if g.empty:
+                return rd.from_pandas(pair_fn(g))
+            return rd.from_pandas(pd.concat(
+                [pair_fn(gg) for _, gg in g.groupby(bucket_cols,
+                                                    sort=False)],
+                ignore_index=True))
 
     def add_part(b: pa.Table) -> pa.Table:
         acc = np.zeros(b.num_rows, dtype=np.uint64)
@@ -1311,11 +1336,21 @@ def _part_apply(ds: "rd.Dataset", keys: list, fn,
     part·2⁴⁰ + local index) read it from their own rows."""
     if n_parts is None:
         ds, n_parts = _auto_parts(ds)
-        if ds.count() == 0:
+        nrows = ds.count()
+        if nrows == 0:
             empty = _typed_empty(ds)
             if keep_part:
                 empty = empty.assign(part=pd.Series([], dtype="int64"))
             return rd.from_pandas(fn(empty))
+        if nrows <= _PART_LOCAL_LIMIT_ROWS \
+                and (ds.size_bytes() or 0) <= _PART_LOCAL_LIMIT_BYTES:
+            # tiny materialized input: one driver-local kernel call (the
+            # 1-partition case of the contract) beats a ~seconds-fixed-
+            # cost exchange; above the threshold the exchange runs
+            g = ds.to_pandas()
+            if keep_part:
+                g = g.assign(part=np.int64(0))
+            return rd.from_pandas(fn(g))
 
     def add_part(b: pd.DataFrame):
         if not len(b):

@@ -371,10 +371,16 @@ def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
     as one driver groupby instead of two distributed exchanges (the
     `_clusters_adaptive` pattern — at web scale the partials exceed the
     limit and the exchanges run)."""
-    from .analytics import _part_groupby_agg
+    from .analytics import _part_apply, _part_groupby_agg
 
+    # byte-derived block count (the crawl._bytes_blocks policy): CPU
+    # floor for tokenize parallelism, grows with the table — never a
+    # fixed handful of giant blocks at corpus scale
+    nbytes = os.path.getsize(_pq(sf_dir, "documents"))
+    nblocks = max(32, -(-nbytes // (64 << 20)))
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text"],
+                         override_num_blocks=nblocks)
 
     def first_partial(batch: pa.Table) -> pa.Table:
         # one vectorized RE2 split + one arrow hash-aggregate per block
@@ -449,22 +455,29 @@ def corpus_vocab_growth(sf_dir: str, n_buckets: int = 64):
         return b
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
+        # a partition may hold SEVERAL whole buckets (``_part_apply``
+        # contract); each bucket's running sum starts at its offset
         offs = ray.get(off_ref)
-        g = g.groupby("doc_id", as_index=False)["new_tokens"].sum() \
-            .sort_values("doc_id").reset_index(drop=True)
-        bucket = int((g["doc_id"].iloc[0] - lo) // width)
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
-            "new_tokens": g["new_tokens"].astype("int64"),
-            "vocab_size": (g["new_tokens"].cumsum()
-                           + offs[bucket]).astype("int64")})
+        frames = []
+        for bkt, sub in g.groupby("bucket", sort=False):
+            sub = sub.groupby("doc_id", as_index=False)["new_tokens"] \
+                .sum().sort_values("doc_id").reset_index(drop=True)
+            frames.append(pd.DataFrame({
+                "doc_id": sub["doc_id"].astype("int64"),
+                "new_tokens": sub["new_tokens"].astype("int64"),
+                "vocab_size": (sub["new_tokens"].cumsum()
+                               + offs[int(bkt)]).astype("int64")}))
+        return pd.concat(frames, ignore_index=True)
 
     # bucketize each branch BEFORE the union so both sides contribute
     # pandas blocks of the identical schema (a mixed arrow/pandas union
-    # trips the executor's schema-divergence warning)
-    return new_counts.map_batches(bucketed, batch_format="pandas") \
-        .union(zeros.map_batches(bucketed, batch_format="pandas")) \
-        .groupby("bucket").map_groups(scan, batch_format="pandas")
+    # trips the executor's schema-divergence warning); the bucket scan
+    # goes through _part_apply so a tiny corpus takes the adaptive
+    # driver-local path instead of a fixed-cost sort exchange
+    return _part_apply(
+        new_counts.map_batches(bucketed, batch_format="pandas")
+        .union(zeros.map_batches(bucketed, batch_format="pandas")),
+        ["bucket"], scan)
 
 
 def corpus_summary_stats(sf_dir: str):

@@ -19,9 +19,10 @@ deterministic fake decoder exercises the Ray-side plumbing — schema,
 actor signature, batch shapes, output layout — exactly as a production
 codec would.
 
-Environment check (re-verified each round; last: round 4, 2026-08-18):
-none of PIL / imageio / cv2 / av / soundfile / pydub / torchvision is
-installed in this container and there is no ffmpeg binary, so the
+Environment check (re-verified each round; last: round 5, 2026-08-18):
+none of PIL / imageio / cv2 / av / soundfile / pydub / torchvision /
+librosa / turbojpeg / simplejpeg / lance is installed in this container
+and there is no ffmpeg binary, so the
 ``codec="real"`` branches stay honest NotImplementedError integration
 points. Wiring order when a wheel appears: import in ``__init__`` (once
 per actor), decode in ``_decode``/``_frames``, and add a
