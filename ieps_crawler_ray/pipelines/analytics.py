@@ -1189,10 +1189,6 @@ def _bucket_pairs(ids: np.ndarray, max_bucket: int,
     return ids[ai], ids[bj]
 
 
-_PAIR_PARTITIONS = 64          # legacy explicit value; defaults are now
-                               # BYTE-DERIVED via _auto_parts (r4 judge
-                               # item 2: a fixed 64 is a hidden per-task
-                               # memory ceiling at scale)
 _PART_TARGET_BYTES = 64 << 20  # ~64 MiB of partition input per task
 _PART_MIN = 8
 
@@ -1273,7 +1269,7 @@ def _partitioned_bucket_pairs(exploded: "rd.Dataset", bucket_cols: list,
             g = exploded.to_pandas()
             g = g[g.duplicated(bucket_cols, keep=False)]
             if g.empty:
-                return rd.from_pandas(pair_fn(g))
+                return rd.from_pandas(pair_fn(g).reset_index(drop=True))
             return rd.from_pandas(pd.concat(
                 [pair_fn(gg) for _, gg in g.groupby(bucket_cols,
                                                     sort=False)],
@@ -1346,11 +1342,15 @@ def _part_apply(ds: "rd.Dataset", keys: list, fn,
                 and (ds.size_bytes() or 0) <= _PART_LOCAL_LIMIT_BYTES:
             # tiny materialized input: one driver-local kernel call (the
             # 1-partition case of the contract) beats a ~seconds-fixed-
-            # cost exchange; above the threshold the exchange runs
+            # cost exchange; above the threshold the exchange runs.
+            # reset_index mirrors the exchange path, where map_groups
+            # block-building drops any named index the kernel left on
+            # its output (a kernel building columns from grouped Series
+            # can leave an index level shadowing a column name)
             g = ds.to_pandas()
             if keep_part:
                 g = g.assign(part=np.int64(0))
-            return rd.from_pandas(fn(g))
+            return rd.from_pandas(fn(g).reset_index(drop=True))
 
     def add_part(b: pd.DataFrame):
         if not len(b):

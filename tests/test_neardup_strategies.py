@@ -586,3 +586,43 @@ def test_auto_parts_grows_with_bytes(ray_session):
     big_bytes = 100 * A._PART_TARGET_BYTES
     assert -(-big_bytes // A._PART_TARGET_BYTES) == 100
     assert floor >= A._PART_MIN
+
+
+def test_part_apply_local_path_drops_named_index(ray_session):
+    """Round-5 regression (caught by the full contract sweep): a kernel
+    that builds its output columns from grouped Series leaves a NAMED
+    INDEX shadowing a column label. The exchange path's map_groups
+    block-building normalizes that away; the adaptive driver-local path
+    must too, or a later sort_values/groupby on that column raises
+    'is both an index level and a column label'."""
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1, 2, 3, 4, 5]})
+    ds = rd.from_pandas(df)
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.groupby("k")["v"].sum()      # index named 'k'
+        return pd.DataFrame({"k": s.index, "s": s})
+
+    out = A._part_apply(ds, ["k"], fn).to_pandas()
+    # must not raise, and the frame must be column-only
+    res = out.sort_values("k", ignore_index=True)
+    assert res["s"].tolist() == [3, 7, 5]
+    assert res.index.name is None
+
+
+def test_part_apply_local_matches_exchange(ray_session):
+    """The tiny-input driver-local path must produce the same rows as
+    the distributed exchange it replaces (explicit n_parts forces the
+    exchange; the default takes the local path under the threshold)."""
+    df = pd.DataFrame({"k": [i % 13 for i in range(1000)],
+                       "v": list(range(1000))})
+    ds = rd.from_pandas(df)
+
+    def fn(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("k", as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+
+    local = (A._part_apply(ds, ["k"], fn).to_pandas()
+             .sort_values("k", ignore_index=True))
+    exch = (A._part_apply(ds, ["k"], fn, n_parts=8).to_pandas()
+            .sort_values("k", ignore_index=True))
+    pd.testing.assert_frame_equal(local, exch)
