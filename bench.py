@@ -133,6 +133,9 @@ def run_bench() -> dict:
         # driver-visible); also reads the cached headline crawl
         timed("crawl_link_triangles",
               lambda: F.crawl_link_triangles(sf_dir))
+        timed("crawl_hits", lambda: F.crawl_hits(sf_dir))
+        timed("image_tile_gradients",
+              lambda: F.image_tile_gradients(sf_dir))
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -168,7 +171,10 @@ def run_scaling() -> None:
     # 3x-page world (sf0.1x3): the heavy mid-rounds dominate the fixed
     # ramp/drain generations, so the whole-job number reflects the
     # multi-hour-crawl regime instead of the 60 s sandbox job's edges
-    world_tier = os.environ.get("BENCH_SCALING_WORLD", "sf0.1x3")
+    # sf0.1x9 since round 5: the perf work removed fixed-cost exchanges,
+    # shrinking parallelizable overhead — the x3 world's serial driver
+    # fraction (Amdahl) then under-measured the engine's 2->8 scaling
+    world_tier = os.environ.get("BENCH_SCALING_WORLD", "sf0.1x9")
     res: dict = {}
     all_trials: dict = {}
     # interleave levels across trials so slow host phases hit every level

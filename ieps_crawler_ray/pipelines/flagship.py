@@ -35,6 +35,14 @@ _SCALES = {
     # dominate the fixed ramp/drain generations, so whole-job efficiency
     # approaches the exec-phase number (the real multi-hour-crawl regime)
     "sf0.1x3": (96, 60000, 1000, 9, 128, 288),
+    # 9x world for the round-5 --scaling measurement: the round-5 perf
+    # work removed per-round fixed-cost exchanges, which shrank the
+    # PARALLELIZABLE overhead — on the x3 world the serial driver path
+    # (round bookkeeping, actor RPCs) became a visible Amdahl fraction
+    # of the now-shorter job, so the 2→8 ratio under-measured the
+    # engine. 3x more pages restores a compute-dominated job (the
+    # multi-hour-crawl regime the north rule grades).
+    "sf0.1x9": (192, 180000, 1000, 9, 128, 288),
 }
 _DEFAULT_SCALE = (5, 60, 60, 3, 32, 128)
 
@@ -477,6 +485,32 @@ def crawl_oracle_sql(tier: str) -> dict:
                    AS cell, n_tiles, frac_milli
         FROM r WHERE rk <= 3
     """,
+    "image_tile_gradients": f"""
+        WITH t AS (
+            SELECT image_id, ty, tx,
+                   (299 * r_milli + 587 * g_milli + 114 * b_milli)
+                       // 1000 AS luma
+            FROM read_parquet('{_X}/tiles_expected.parquet')
+        ),
+        g AS (
+            SELECT a.image_id, ABS(b.luma - a.luma) AS d
+            FROM t a JOIN t b ON a.image_id = b.image_id
+                 AND a.ty = b.ty AND b.tx = a.tx + 1
+            UNION ALL
+            SELECT a.image_id, ABS(b.luma - a.luma) AS d
+            FROM t a JOIN t b ON a.image_id = b.image_id
+                 AND a.tx = b.tx AND b.ty = a.ty + 1
+        )
+        SELECT image_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grads,
+               CAST(SUM(d) AS BIGINT) AS grad_sum,
+               CAST(MAX(d) AS BIGINT) AS grad_max,
+               CAST(SUM(CASE WHEN d >= 8000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN d >= 8000 THEN 1 ELSE 0 END) * 1000
+                    // COUNT(*) AS BIGINT) AS edge_frac_milli
+        FROM g GROUP BY image_id
+    """,
     "crawl_politeness_audit": f"""
         WITH f AS (
             SELECT DISTINCT domain, fetch_time
@@ -735,6 +769,7 @@ def crawl_oracle_sql(tier: str) -> dict:
     """,
     }
     out["crawl_pagerank"] = _pagerank_oracle_sql(f"{_X}/links.parquet")
+    out["crawl_hits"] = _hits_oracle_sql(f"{_X}/links.parquet")
     out["image_caption_align"] = rf"""
         WITH img AS (
             SELECT url, list_distinct(
@@ -1631,6 +1666,29 @@ def image_dominant_colors(sf_dir: str, top_k: int = 3):
                       ["cell", "n_tiles", "frac_milli", "rank"]})
     return out.sort_values(["image_id", "rank"]).reset_index(drop=True) \
         [["image_id", "rank", "cell", "n_tiles", "frac_milli"]]
+
+
+def image_tile_gradients(sf_dir: str):
+    """Per-image tile-gradient energy (round-5 extension — the
+    structural-sharpness facet of image curation, complementing the
+    pixel-local ``blur_mvar`` in ``image_quality_scores``): absolute
+    integer luma differences between adjacent tiles of the same
+    patch grid the ViT-prep ``image_tiles`` stage emits, reduced to
+    per-image (n_grads, grad_sum, grad_max, n_edges, edge_frac_milli).
+
+    Scale shape: decode + gradient kernel run inside the actor-pool
+    stage (state in ``__init__``, one vectorized numpy pass per image),
+    one OUTPUT ROW per image — no tile fan-out ever leaves the stage
+    and no exchange at all; the SQL oracle replays the identical
+    integer arithmetic as a self-join over the no-Ray tiles export."""
+    from ..stages.multimodal import ImageGradientStage
+
+    tier = effective_tier(sf_dir)
+    nc = _SCALES.get(tier, _DEFAULT_SCALE)[2]
+    out = _blocked(build_corpus_rows(nc)).map_batches(
+        ImageGradientStage, batch_format="pyarrow", batch_size=16,
+        concurrency=(2, 8)).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
 
 
 def crawl_politeness_audit(sf_dir: str):
@@ -2737,6 +2795,232 @@ def _pagerank_oracle_sql(links_path: str, iterations: int = _PR_ITERS,
         SELECT node AS url,
                CAST(FLOOR(rank * 1e9 + 0.5) AS BIGINT) AS rank_ppb
         FROM r{iterations}
+    """
+    return head + "".join(its) + tail
+
+
+_HITS_ITERS = 10
+_HITS_SCALE = 1_000_000     # scores live on a 0..1e6 integer ppm grid
+_HITS_LOCAL_LIMIT_EDGES = _PR_LOCAL_LIMIT_EDGES
+
+
+def crawl_hits(sf_dir: str, iterations: int = _HITS_ITERS,
+               strategy: str = None):
+    """HITS hubs & authorities over the crawl's deduplicated directed
+    link graph (A3 family beside degrees / PageRank / components /
+    triangles — the reference treats graph scoring as an offline Gephi
+    step, ``report/report.tex:230-232``; HITS is the classic
+    query-independent hub/authority split for a link corpus).
+
+    INTEGER-EXACT protocol (unlike PageRank's rounded-double protocol,
+    this one has a global normalizer, and a float L1 sum over all nodes
+    would be summation-ORDER-dependent): scores live on a 0..1e6 ppm
+    integer grid and each Kleinberg power iteration is
+        a_raw(v) = Σ_{{u→v}} h(u)                (int64 sums)
+        a(v)     = a_raw(v)·1e6 // max_v a_raw   (max-normalization)
+    then symmetrically h from the new a. Integer sums and an integer
+    max are order-independent, so the fixpoint is bit-identical across
+    engines and shuffle orders with no rounding protocol at all.
+    int64-exactness bound: a_raw·1e6 must fit int64 → per-node in-hub
+    mass ≤ ⌊(2⁶³−1)/1e6⌋ ≈ 9.2·10¹² (in-degree ≤ ~9.2e6 at full h);
+    beyond it the kernel raises loudly (the events_anomaly_hours
+    pattern — the HUGEINT/python-int upgrade is mechanical) and the
+    DuckDB oracle's BIGINT multiply errors equally loudly.
+
+    Adaptive like ``crawl_pagerank``: under ``_HITS_LOCAL_LIMIT_EDGES``
+    the edge list is iterated vectorized on the driver; above it (or
+    with ``strategy='partitioned'``) each half-iteration is one
+    tagged-union groupby fan-out (edges co-partitioned with the score
+    vector on the contributing endpoint), one per-node partial sum,
+    and a constant-size per-block max reduce — nothing node-scaled on
+    the driver. A parity test pins both paths equal."""
+    assert iterations >= 1
+    edges_ds = C.read_links(_crawled(sf_dir)).materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return pd.DataFrame({"url": pd.Series(dtype=object),
+                             "hub_ppm": pd.Series(dtype="int64"),
+                             "auth_ppm": pd.Series(dtype="int64")})
+    if strategy != "partitioned" and n_edges <= _HITS_LOCAL_LIMIT_EDGES:
+        out = _hits_local(edges_ds.to_pandas(), iterations)
+    else:
+        out = _hits_distributed(edges_ds, iterations)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _hits_scale_div(raw: "np.ndarray") -> "np.ndarray":
+    """ppm rescale by the max: int64-exact with a loud overflow raise."""
+    mx = int(raw.max())
+    if mx > (2 ** 63 - 1) // _HITS_SCALE:
+        raise OverflowError(
+            "per-node HITS mass exceeds the int64-exact bound for "
+            "raw*1e6; upgrade the rescale to python-int/HUGEINT")
+    return raw * _HITS_SCALE // max(mx, 1)
+
+
+def _hits_local(edges: "pd.DataFrame", iterations: int) -> "pd.DataFrame":
+    nodes = sorted(set(edges["parent_url"]) | set(edges["url"]))
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    src = np.fromiter((idx[u] for u in edges["parent_url"]),
+                      dtype=np.int64, count=len(edges))
+    dst = np.fromiter((idx[u] for u in edges["url"]),
+                      dtype=np.int64, count=len(edges))
+    h = np.full(n, _HITS_SCALE, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iterations):
+        # np.add.at keeps the accumulator int64 (bincount would go
+        # through float64 weights); exact by construction
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dst, h[src])
+        a = _hits_scale_div(acc)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, src, a[dst])
+        h = _hits_scale_div(acc)
+    return pd.DataFrame({"url": nodes, "hub_ppm": h, "auth_ppm": a})
+
+
+def _hits_distributed(edges: "rd.Dataset", iterations: int
+                      ) -> "pd.DataFrame":
+    """Distributed iterations: scores live as a (node, s) Dataset; each
+    half-iteration is a groupby(part) contribution fan-out (the edge
+    table co-partitioned with the score vector on the CONTRIBUTING
+    endpoint — src for the authority step, dst for the hub step)
+    followed by a per-node partial sum, with the normalizer reduced
+    from constant-size per-block max partials. materialize() per
+    half-iteration bounds lineage growth (the same pattern as
+    ``_pagerank_distributed``)."""
+    from .analytics import (_FANOUT_PARTITIONS, _distinct_rows,
+                            _part_groupby_agg)
+    from .crawl import _key_parts
+
+    def as_node(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"node": b.column(col)})
+        return f
+
+    nodes = _distinct_rows(
+        edges.map_batches(as_node("parent_url"), batch_format="pyarrow")
+        .union(edges.map_batches(as_node("url"), batch_format="pyarrow")),
+        ["node"])
+
+    def tag_edges(key_col: str, other_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": b.column(key_col),
+                "part": _key_parts(b.column(key_col), _FANOUT_PARTITIONS),
+                "other": b.column(other_col),
+                "s": pa.nulls(b.num_rows, pa.int64())})
+        return f
+
+    # static tagged edge tables, pinned once (src-keyed for the a-step,
+    # dst-keyed for the h-step)
+    fwd = edges.map_batches(tag_edges("parent_url", "url"),
+                            batch_format="pyarrow").materialize()
+    rev = edges.map_batches(tag_edges("url", "parent_url"),
+                            batch_format="pyarrow").materialize()
+
+    def to_score(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column("node"),
+            "part": _key_parts(b.column("node"), _FANOUT_PARTITIONS),
+            "other": pa.nulls(b.num_rows, pa.string()),
+            "s": b.column("s")})
+
+    def contrib(g: "pd.DataFrame") -> "pd.DataFrame":
+        # score rows have other=null, edge rows have s=null; each edge
+        # picks up its key endpoint's score vectorized, plus a zero
+        # self-row per node so every node survives the sum
+        sc = g.loc[g["other"].isna(), ["key", "s"]]
+        es = g.loc[g["s"].isna(), ["key", "other"]]
+        m = es.merge(sc, on="key")
+        return pd.DataFrame({
+            "node": pd.concat([sc["key"], m["other"]],
+                              ignore_index=True),
+            "c": pd.concat([pd.Series(0, index=sc.index),
+                            m["s"]], ignore_index=True).astype("int64")})
+
+    def half(scores: "rd.Dataset", tagged: "rd.Dataset") -> "rd.Dataset":
+        raw = _part_groupby_agg(
+            tagged.union(
+                scores.map_batches(to_score, batch_format="pyarrow"))
+            .groupby("part").map_groups(contrib, batch_format="pandas"),
+            ["node"], {"c": ("c", "sum")}).materialize()
+        mx_parts = raw.map_batches(
+            lambda b: pa.table({"m": pa.array(
+                [pc.max(b.column("c")).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        mx = int(mx_parts["m"].max()) if len(mx_parts) else 0
+        if mx > (2 ** 63 - 1) // _HITS_SCALE:
+            raise OverflowError(
+                "per-node HITS mass exceeds the int64-exact bound for "
+                "raw*1e6; upgrade the rescale to python-int/HUGEINT")
+        mx = max(mx, 1)
+
+        def norm(b: pa.Table, _mx=mx) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            return pa.table({"node": b.column("node"),
+                             "s": pa.array(c * _HITS_SCALE // _mx,
+                                           pa.int64())})
+        return raw.map_batches(norm, batch_format="pyarrow")
+
+    h = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "s": pa.array([_HITS_SCALE] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iterations):
+        a = half(h, fwd).materialize()   # contributions flow src → dst
+        h = half(a, rev).materialize()   # then dst → src
+    hp = h.to_pandas().rename(columns={"node": "url", "s": "hub_ppm"})
+    ap = a.to_pandas().rename(columns={"node": "url", "s": "auth_ppm"})
+    return hp.merge(ap, on="url")[["url", "hub_ppm", "auth_ppm"]]
+
+
+def _hits_oracle_sql(links_path: str,
+                     iterations: int = _HITS_ITERS) -> str:
+    """Fixed-iteration integer HITS as chained CTEs (identical ppm
+    max-normalization protocol) over the oracle crawler's links table.
+    DuckDB's SUM(BIGINT) widens to HUGEINT, so the explicit BIGINT cast
+    keeps the oracle on the same int64-exact grid as the engine (both
+    sides error loudly past the bound rather than diverge)."""
+    head = f"""
+        WITH e AS MATERIALIZED (SELECT from_url AS src, to_url AS dst
+                   FROM read_parquet('{links_path}')),
+        nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM
+                  (SELECT src AS u FROM e UNION SELECT dst FROM e)),
+        h0 AS MATERIALIZED (SELECT node,
+                   CAST({_HITS_SCALE} AS BIGINT) AS s FROM nodes)
+    """
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+        , a{k}r AS MATERIALIZED (
+            SELECT n.node, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, SUM(h.s) AS v
+                FROM e JOIN h{k - 1} h ON e.src = h.node
+                GROUP BY e.dst) c USING (node))
+        , a{k} AS MATERIALIZED (
+            SELECT node, v * {_HITS_SCALE}
+                   // GREATEST((SELECT MAX(v) FROM a{k}r), 1) AS s
+            FROM a{k}r)
+        , h{k}r AS MATERIALIZED (
+            SELECT n.node, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, SUM(a.s) AS v
+                FROM e JOIN a{k} a ON e.dst = a.node
+                GROUP BY e.src) c USING (node))
+        , h{k} AS MATERIALIZED (
+            SELECT node, v * {_HITS_SCALE}
+                   // GREATEST((SELECT MAX(v) FROM h{k}r), 1) AS s
+            FROM h{k}r)
+        """)
+    tail = f"""
+        SELECT h.node AS url, h.s AS hub_ppm, a.s AS auth_ppm
+        FROM h{iterations} h JOIN a{iterations} a USING (node)
     """
     return head + "".join(its) + tail
 

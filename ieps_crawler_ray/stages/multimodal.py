@@ -247,6 +247,73 @@ class ImageTileStage:
         })
 
 
+def tile_gradient_features(img: np.ndarray, tile: int = 16,
+                           edge_milli: int = 8000):
+    """Adjacent-tile luma gradient stats over the SAME non-overlapping
+    patch grid as ``tile_grid_features`` (sharpness / edge-density
+    features for image curation): per-tile integer mean RGB x1000 →
+    integer luma ``(299r + 587g + 114b) // 1000`` → absolute luma
+    difference between horizontally and vertically adjacent tiles.
+    All arithmetic is nonneg int64 floor division, so a SQL self-join
+    over the exported tile table replays it bit-exactly. Returns
+    ``(n_grads, grad_sum, grad_max, n_edges)`` with ``n_edges`` the
+    count of gradients ≥ ``edge_milli``, or None when the grid has no
+    adjacent tile pair (the oracle's join yields no rows there)."""
+    h, w = img.shape[:2]
+    nty, ntx = h // tile, w // tile
+    if nty == 0 or ntx == 0:
+        return None
+    grid = img[:nty * tile, :ntx * tile].astype(np.int64) \
+        .reshape(nty, tile, ntx, tile, 3)
+    means = grid.sum(axis=(1, 3)) * 1000 // (tile * tile)
+    luma = (299 * means[..., 0] + 587 * means[..., 1]
+            + 114 * means[..., 2]) // 1000
+    d = np.concatenate([np.abs(luma[:, 1:] - luma[:, :-1]).ravel(),
+                        np.abs(luma[1:, :] - luma[:-1, :]).ravel()])
+    if d.size == 0:
+        return None
+    return (int(d.size), int(d.sum()), int(d.max()),
+            int((d >= edge_milli).sum()))
+
+
+class ImageGradientStage:
+    """Decode -> adjacent-tile luma gradient energy, one row per image
+    (the sharpness/edge-density half of an image-curation scorer; the
+    blur_mvar in ImageQualityStage is pixel-local, this is structural).
+    Emits (image_id, n_grads, grad_sum, grad_max, n_edges,
+    edge_frac_milli); images whose grid has no adjacent tile pair are
+    dropped (matching the oracle's self-join)."""
+
+    def __init__(self, tile: int = 16):
+        from ..functions import image_codec as ic
+        self.ic = ic
+        self.tile = tile
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ngs, sums, maxs, nes, fracs = [], [], [], [], [], []
+        for i in range(batch.num_rows):
+            img, _fmt = self.ic.decode_image(
+                batch.column("bytes")[i].as_py())
+            f = tile_gradient_features(img, self.tile)
+            if f is None:
+                continue
+            ng, gs, gm, ne = f
+            ids.append(batch.column("image_id")[i].as_py())
+            ngs.append(ng)
+            sums.append(gs)
+            maxs.append(gm)
+            nes.append(ne)
+            fracs.append(ne * 1000 // ng)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "n_grads": pa.array(ngs, pa.int64()),
+            "grad_sum": pa.array(sums, pa.int64()),
+            "grad_max": pa.array(maxs, pa.int64()),
+            "n_edges": pa.array(nes, pa.int64()),
+            "edge_frac_milli": pa.array(fracs, pa.int64()),
+        })
+
+
 AUDIO_FEATURE_SCHEMA = pa.schema([
     ("audio_id", pa.string()),
     ("n_samples", pa.int64()),

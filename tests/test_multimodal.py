@@ -495,3 +495,46 @@ def test_blocked_preserves_rows_and_splits(ray_session):
     # small tables stay single-block (no pointless task fan-out)
     assert _blocked(build_corpus_rows(8), rows_per_block=32) \
         .num_blocks() == 1
+
+
+def test_image_gradient_stage_matches_pure_kernel(ray_session):
+    """The actor-pool gradient stage reproduces a no-Ray replay of the
+    tile-gradient kernel exactly (the corpus-contract shape the
+    image_tile_gradients SQL oracle also replays via self-joins)."""
+    from ieps_crawler_ray.functions import image_codec as ic
+    from ieps_crawler_ray.stages.multimodal import (ImageGradientStage,
+                                                    tile_gradient_features)
+
+    corpus = build_corpus_rows(8)
+    out = rd.from_arrow(corpus).map_batches(
+        ImageGradientStage, batch_format="pyarrow", batch_size=3,
+        concurrency=2).to_pandas().set_index("image_id")
+    n_expected = 0
+    for i in range(corpus.num_rows):
+        img, _ = ic.decode_image(corpus.column("bytes")[i].as_py())
+        f = tile_gradient_features(img)
+        iid = corpus.column("image_id")[i].as_py()
+        if f is None:
+            assert iid not in out.index
+            continue
+        n_expected += 1
+        row = out.loc[iid]
+        assert (int(row["n_grads"]), int(row["grad_sum"]),
+                int(row["grad_max"]), int(row["n_edges"])) == f
+        assert int(row["edge_frac_milli"]) == f[3] * 1000 // f[0]
+    assert len(out) == n_expected > 0
+
+
+def test_tile_gradient_kernel_known_values():
+    from ieps_crawler_ray.stages.multimodal import tile_gradient_features
+
+    # two horizontal tiles: luma 7000 vs 19000 -> one gradient of 12000
+    img = np.full((16, 32, 3), 7, dtype=np.uint8)
+    img[:, 16:, :] = 19
+    assert tile_gradient_features(img, tile=16) == (1, 12000, 12000, 1)
+    # flat image: gradients exist but are all zero (below edge cut)
+    flat = np.full((32, 32, 3), 9, dtype=np.uint8)
+    assert tile_gradient_features(flat, tile=16) == (4, 0, 0, 0)
+    # single tile -> no adjacent pair -> None
+    assert tile_gradient_features(np.zeros((16, 16, 3), np.uint8),
+                                  tile=16) is None

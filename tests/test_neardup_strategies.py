@@ -626,3 +626,37 @@ def test_part_apply_local_matches_exchange(ray_session):
     exch = (A._part_apply(ds, ["k"], fn, n_parts=8).to_pandas()
             .sort_values("k", ignore_index=True))
     pd.testing.assert_frame_equal(local, exch)
+
+
+def test_hits_distributed_matches_local(ray_session):
+    """The distributed HITS half-iterations (tagged-union fan-out + sum
+    + per-block max reduce) produce exactly the local vectorized result
+    — the integer ppm max-normalization protocol is order-independent
+    by construction, no rounding needed."""
+    from ieps_crawler_ray.pipelines import flagship as F
+
+    sf = "/root/testdata/sf0.001"
+    local = F.crawl_hits(sf, iterations=2)
+    dist = F.crawl_hits(sf, iterations=2, strategy="partitioned")
+    pd.testing.assert_frame_equal(local, dist)
+    # max-normalization pins at least one full-scale hub and authority
+    assert local["hub_ppm"].max() == 1_000_000
+    assert local["auth_ppm"].max() == 1_000_000
+
+
+def test_hits_local_known_graph():
+    """Kleinberg sanity on a hand graph: a node linking to every
+    authority is the top hub; integer protocol replayed by hand.
+    Graph: s1->{a, b}, s2->{a}, so a is the top authority and s1 the
+    top hub."""
+    from ieps_crawler_ray.pipelines.flagship import _hits_local
+
+    edges = pd.DataFrame({"parent_url": ["s1", "s1", "s2"],
+                          "url": ["a", "b", "a"]})
+    out = _hits_local(edges, iterations=3).set_index("url")
+    assert out.loc["a", "auth_ppm"] == 1_000_000
+    assert out.loc["s1", "hub_ppm"] == 1_000_000
+    assert out.loc["a", "auth_ppm"] > out.loc["b", "auth_ppm"] > 0
+    assert out.loc["s1", "hub_ppm"] > out.loc["s2", "hub_ppm"] > 0
+    assert out.loc["a", "hub_ppm"] == 0     # a links to nothing
+    assert out.loc["s1", "auth_ppm"] == 0   # nothing links to s1

@@ -31,6 +31,10 @@ ROTATED_OUT_R5 = {
     "image_cbir_knn", "image_phash_clusters", "crawl_image_diversity",
     "crawl_host_stats", "image_caption_dedup", "image_caption_align",
     "audio_features", "video_frames",
+    # driver-green r2-r4 with unchanged code, moved past the cap to
+    # make room for the two NEW round-5 operators (crawl_hits,
+    # image_tile_gradients), which had never been driver-checked
+    "events_asof_join", "user_funnel",
 }
 
 ROTATED_IN_R5 = (
@@ -55,7 +59,8 @@ def test_cap_covers_crawl_and_image_families(ray_session):
            if n not in first50 and n not in ROTATED_OUT_R5]
     assert not out, f"crawl/multimodal entries past the cap: {out}"
     for must in ("crawl_flagship", "image_phash_neardup", "crawl_pagerank",
-                 "crawl_link_triangles", "events_asof_join",
-                 "events_distinct_users_hll", "minhash_lsh_neardup",
-                 "embedding_semdedup", "user_funnel") + ROTATED_IN_R5:
+                 "crawl_link_triangles", "crawl_hits",
+                 "image_tile_gradients", "events_distinct_users_hll",
+                 "minhash_lsh_neardup", "embedding_semdedup") \
+            + ROTATED_IN_R5:
         assert must in first50, must
