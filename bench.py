@@ -134,6 +134,7 @@ def run_bench() -> dict:
         timed("crawl_link_triangles",
               lambda: F.crawl_link_triangles(sf_dir))
         timed("crawl_hits", lambda: F.crawl_hits(sf_dir))
+        timed("crawl_kcore", lambda: F.crawl_kcore(sf_dir))
         timed("image_tile_gradients",
               lambda: F.image_tile_gradients(sf_dir))
 
@@ -182,8 +183,18 @@ def run_scaling() -> None:
         for n in levels:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        BENCH_CRAWL_ONLY="1", GRAFT_WORLD_TIER=world_tier)
+            # STRICT small-cluster emulation (round 5): pin the whole
+            # process tree (driver, raylet, workers, arrow/numpy thread
+            # pools) to exactly n host cores. ray.init(num_cpus=n) caps
+            # only Ray WORKER slots — the driver process and native
+            # kernel threads would otherwise borrow idle host cores,
+            # inflating the small levels on a quiet host and making the
+            # N-vs-4N efficiency ratio depend on host load instead of
+            # the engine.
+            cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable,
+                   os.path.abspath(__file__)]
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
+                cmd, env=env,
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             r = json.loads(out.stdout.strip().splitlines()[-1])
@@ -223,8 +234,12 @@ def run_scaling() -> None:
         "trials_fetched_urls_per_s": {
             str(n): [r["fetched_urls_per_s"] for r in rs]
             for n, rs in all_trials.items()},
-        "note": ("shared-VM host with unpredictable CPU steal (identical "
-                 "runs vary +/-50%); best of "
+        "note": ("each level taskset-pinned to exactly n host cores "
+                 "(strict small-cluster emulation: without the pin the "
+                 "driver and native thread pools borrow idle host cores "
+                 "beyond ray.init(num_cpus=n), inflating small levels "
+                 "on a quiet host). shared-VM host with unpredictable "
+                 "CPU steal (identical runs vary +/-50%); best of "
                  f"{trials} interleaved trials per level is reported, all "
                  "trials listed. steady state = rounds with >=5000 "
                  "frontier candidates (ramp rounds excluded, negligible "

@@ -770,6 +770,7 @@ def crawl_oracle_sql(tier: str) -> dict:
     }
     out["crawl_pagerank"] = _pagerank_oracle_sql(f"{_X}/links.parquet")
     out["crawl_hits"] = _hits_oracle_sql(f"{_X}/links.parquet")
+    out["crawl_kcore"] = _kcore_oracle_sql(f"{_X}/links.parquet")
     out["image_caption_align"] = rf"""
         WITH img AS (
             SELECT url, list_distinct(
@@ -922,6 +923,82 @@ def crawl_link_components(sf_dir: str, strategy: str = None):
                               pa.string(), strategy=strategy)
 
 
+def _link_halves(b: pd.DataFrame) -> pd.DataFrame:
+    # one half per endpoint: k = the url this half resolves here,
+    # o = the link's other url (resolved by the second exchange)
+    return pd.DataFrame({
+        "k": pd.concat([b["parent_url"], b["url"]], ignore_index=True),
+        "o": pd.concat([b["url"], b["parent_url"]], ignore_index=True)})
+
+
+def _encode_resolve(g: pd.DataFrame) -> pd.DataFrame:
+    # id namespace: part in the top 23 bits, local index in the low
+    # 40 — unique while n_parts < 2²³ (≈8.4M partitions ≈ 512 TB of
+    # distinct-url bytes at the 64 MiB target) and each partition
+    # holds < 2⁴⁰ distinct urls; both hold far past 100 TB. Every
+    # occurrence of url v is keyed here, so v's id is minted exactly
+    # once; halves leave with their own key resolved (carry) and the
+    # other url as the next key; node rows (kind=1) ride along as
+    # the second exchange's lookup side.
+    u = pd.unique(g["k"])
+    base = int(g["part"].iloc[0]) << 40
+    ids = pd.Series(np.arange(len(u), dtype=np.int64) + base, index=u)
+    half = pd.DataFrame({"k": g["o"].to_numpy(),
+                         "carry": ids[g["k"]].to_numpy(),
+                         "kind": np.int64(0)})
+    node = pd.DataFrame({"k": u, "carry": ids[u].to_numpy(),
+                         "kind": np.int64(1)})
+    return pd.concat([half, node], ignore_index=True)
+
+
+def _resolve_undirect(g: pd.DataFrame) -> pd.DataFrame:
+    nm = g[g["kind"] == 1][["k", "carry"]] \
+        .rename(columns={"carry": "nid"})
+    em = g[g["kind"] == 0][["k", "carry"]]
+    m = em.merge(nm, on="k")
+    x = m["carry"].to_numpy()
+    y = m["nid"].to_numpy()
+    df = pd.DataFrame({"a": np.minimum(x, y), "b": np.maximum(x, y)})
+    return df[df["a"] != df["b"]].drop_duplicates()
+
+
+def _encoded_undirected_edges(links: "rd.Dataset", np_str: int,
+                              np_int: int, with_nodemap: bool = False):
+    """Dictionary-encode the link graph to dense int64 node ids, fused
+    with the undirect+distinct pass (the only two exchanges that ever
+    move a URL string — every key after this is 8 bytes). Shared by
+    the int64 graph operators (triangles, k-core). The first exchange
+    (keyed by each half's own endpoint url) mints a coordination-free
+    unique id = part·2⁴⁰ + local index per distinct url and resolves
+    that half in place; node rows ride the second exchange as the
+    lookup side resolving the carried other-url. Returns the distinct
+    undirected (a:int64, b:int64) edge Dataset, materialized, plus —
+    when ``with_nodemap`` — the (url, nid) map Dataset for joining
+    results back to urls (``enc`` is pinned once so the map and the
+    edge pass share the encode exchange instead of re-running it)."""
+    from .analytics import _part_apply
+
+    enc = _part_apply(
+        links.map_batches(_link_halves, batch_format="pandas"),
+        ["k"], _encode_resolve, n_parts=np_str, keep_part=True)
+    nodemap = None
+    if with_nodemap:
+        enc = enc.materialize()
+
+        def node_rows(b: pd.DataFrame) -> pd.DataFrame:
+            m = b[b["kind"] == 1]
+            return pd.DataFrame({
+                "url": m["k"].to_numpy(),
+                "nid": m["carry"].to_numpy().astype("int64")})
+
+        nodemap = enc.map_batches(node_rows, batch_format="pandas")
+    pairs = _part_apply(enc, ["k"], _resolve_undirect, n_parts=np_str)
+    edges = _part_apply(
+        pairs, ["a", "b"], lambda g: g.drop_duplicates(),
+        n_parts=np_int).materialize()
+    return edges, nodemap
+
+
 def crawl_link_triangles(sf_dir: str):
     """Exact triangle count over the crawl's undirected page link graph
     (the clustering-coefficient numerator — the standard web-graph
@@ -1002,56 +1079,8 @@ def crawl_link_triangles(sf_dir: str):
     np_str = parts_for(2 * link_bytes)   # url-keyed (string) exchanges
     np_int = parts_for(n_links * 32)     # int64 pair exchanges
 
-    # ── ① dictionary-encode fused with the first resolve ─────────────
-    def link_halves(b: pd.DataFrame) -> pd.DataFrame:
-        # one half per endpoint: k = the url this half resolves here,
-        # o = the link's other url (resolved by the second exchange)
-        return pd.DataFrame({
-            "k": pd.concat([b["parent_url"], b["url"]],
-                           ignore_index=True),
-            "o": pd.concat([b["url"], b["parent_url"]],
-                           ignore_index=True)})
-
-    def encode_resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # id namespace: part in the top 23 bits, local index in the low
-        # 40 — unique while n_parts < 2²³ (≈8.4M partitions ≈ 512 TB of
-        # distinct-url bytes at the 64 MiB target) and each partition
-        # holds < 2⁴⁰ distinct urls; both hold far past 100 TB. Every
-        # occurrence of url v is keyed here, so v's id is minted exactly
-        # once; halves leave with their own key resolved (carry) and the
-        # other url as the next key; node rows (kind=1) ride along as
-        # the second exchange's lookup side.
-        u = pd.unique(g["k"])
-        base = int(g["part"].iloc[0]) << 40
-        ids = pd.Series(np.arange(len(u), dtype=np.int64) + base,
-                        index=u)
-        half = pd.DataFrame({"k": g["o"].to_numpy(),
-                             "carry": ids[g["k"]].to_numpy(),
-                             "kind": np.int64(0)})
-        node = pd.DataFrame({"k": u, "carry": ids[u].to_numpy(),
-                             "kind": np.int64(1)})
-        return pd.concat([half, node], ignore_index=True)
-
-    enc = _part_apply(
-        links.map_batches(link_halves, batch_format="pandas"),
-        ["k"], encode_resolve, n_parts=np_str, keep_part=True)
-
-    # ── ② resolve the other endpoint, undirect; then global distinct ─
-    def resolve_undirect(g: pd.DataFrame) -> pd.DataFrame:
-        nm = g[g["kind"] == 1][["k", "carry"]] \
-            .rename(columns={"carry": "nid"})
-        em = g[g["kind"] == 0][["k", "carry"]]
-        m = em.merge(nm, on="k")
-        x = m["carry"].to_numpy()
-        y = m["nid"].to_numpy()
-        df = pd.DataFrame({"a": np.minimum(x, y),
-                           "b": np.maximum(x, y)})
-        return df[df["a"] != df["b"]].drop_duplicates()
-
-    pairs = _part_apply(enc, ["k"], resolve_undirect, n_parts=np_str)
-    edges = _part_apply(
-        pairs, ["a", "b"], lambda g: g.drop_duplicates(),
-        n_parts=np_int).materialize()
+    # ── ①② dictionary-encode + undirect + distinct (shared helper) ──
+    edges, _ = _encoded_undirected_edges(links, np_str, np_int)
     n_edges = int(edges.count())
     if n_edges == 0:
         return zero_row()
@@ -1183,6 +1212,216 @@ def crawl_link_triangles(sf_dir: str):
         "n_wedges": pd.array([n_wedges], dtype="int64"),
         "n_triangles": pd.array([n_tri], dtype="int64"),
         "clustering_micro": pd.array([cc], dtype="int64")})
+
+
+_KCORE_K = 3
+_KCORE_ITERS = 12
+_KCORE_LOCAL_LIMIT_EDGES = 1_000_000
+
+
+def crawl_kcore(sf_dir: str, k: int = _KCORE_K,
+                iterations: int = _KCORE_ITERS, strategy: str = None):
+    """k-core of the crawl's undirected page link graph (A3 family —
+    completes the classic web-graph set beside degrees / PageRank /
+    components / triangles / HITS; the reference leaves graph analysis
+    to offline Gephi, ``report/report.tex:230-232``): the maximal
+    subgraph where every node keeps degree ≥ k, found by parallel
+    peeling. The SEMANTICS are ``iterations`` synchronous peel rounds
+    (each round drops every node whose CURRENT degree < k, then every
+    edge touching a dropped node) — the fixpoint k-core whenever a
+    round removes nothing before the budget runs out (the engine
+    early-stops there; extra oracle rounds are then no-ops, so fixed-T
+    SQL and early-stopped engine agree by construction). A unit test
+    pins convergence within the budget on the test worlds; at web
+    scale T is config.
+
+    Distributed shape: runs on the shared int64-encoded edge table
+    (``_encoded_undirected_edges`` — URL strings move only in the two
+    encode exchanges and the final map-back join). Each peel round is
+    TWO int64 exchanges via the same edge-halves trick as triangles:
+    halves keyed by endpoint (degree = group size in the endpoint's
+    partition, no separate degree table), re-join on (a, b) keeping
+    edges whose BOTH halves passed deg ≥ k. Adaptive like PageRank:
+    under ``_KCORE_LOCAL_LIMIT_EDGES`` the int64 edge list iterates
+    vectorized on the driver; a parity test pins both paths. Returns
+    (url, core_deg) for nodes in the surviving subgraph."""
+    from .analytics import _part_apply, _PART_MIN, _PART_TARGET_BYTES
+
+    def empty():
+        return pd.DataFrame({"url": pd.Series(dtype=object),
+                             "core_deg": pd.Series(dtype="int64")})
+
+    links = C.read_links(_crawled(sf_dir), distinct=False) \
+        .select_columns(["parent_url", "url"]).materialize()
+    n_links = int(links.count())
+    if n_links == 0:
+        return empty()
+    link_bytes = links.size_bytes() or 0
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", _PART_MIN))
+    except Exception:
+        ncpu = _PART_MIN
+    floor = max(_PART_MIN, min(ncpu, 64))
+
+    def parts_for(nbytes: int) -> int:
+        return max(floor, -(-int(nbytes) // _PART_TARGET_BYTES))
+
+    edges, nodemap = _encoded_undirected_edges(
+        links, parts_for(2 * link_bytes), parts_for(n_links * 32),
+        with_nodemap=True)
+    n_edges = int(edges.count())
+    if n_edges == 0:
+        return empty()
+
+    if strategy != "partitioned" and n_edges <= _KCORE_LOCAL_LIMIT_EDGES:
+        core = _kcore_local(edges.to_pandas(), k, iterations)
+        out = core.merge(nodemap.to_pandas(), on="nid")
+        return out[["url", "core_deg"]] \
+            .sort_values("url").reset_index(drop=True)
+
+    core_ds = _kcore_distributed(edges, k, iterations, parts_for,
+                                 n_edges)
+    # map ids back to urls: tagged-union co-partition on nid (the only
+    # exchange after the encode that touches strings; core rows are a
+    # subset of the node map)
+    def tag_core(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nid": b["nid"].astype("int64"),
+                             "core_deg": b["core_deg"].astype("int64"),
+                             "url": None})
+
+    def tag_map(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nid": b["nid"].astype("int64"),
+                             "core_deg": np.int64(-1),
+                             "url": b["url"]})
+
+    def join_url(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["core_deg"] >= 0, ["nid", "core_deg"]]
+        m = g.loc[g["core_deg"] < 0, ["nid", "url"]]
+        return c.merge(m, on="nid")[["url", "core_deg"]]
+
+    out = _part_apply(
+        core_ds.map_batches(tag_core, batch_format="pandas")
+        .union(nodemap.map_batches(tag_map, batch_format="pandas")),
+        ["nid"], join_url).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _kcore_local(edges: "pd.DataFrame", k: int,
+                 iterations: int) -> "pd.DataFrame":
+    """Vectorized synchronous peeling on the driver → (nid, core_deg)."""
+    both = pd.concat([edges["a"], edges["b"]], ignore_index=True)
+    codes, uniq = pd.factorize(both, sort=False)
+    n = len(uniq)
+    ne = len(edges)
+    A, B = codes[:ne].copy(), codes[ne:].copy()
+    for _ in range(iterations):
+        deg = np.bincount(A, minlength=n) + np.bincount(B, minlength=n)
+        keep = deg >= k
+        m = keep[A] & keep[B]
+        if m.all():
+            break                      # converged: a round removed nothing
+        A, B = A[m], B[m]
+    deg = np.bincount(A, minlength=n) + np.bincount(B, minlength=n)
+    sel = deg > 0
+    vals = np.asarray(uniq)[sel]
+    if np.issubdtype(vals.dtype, np.integer):   # production int64 ids;
+        vals = vals.astype("int64")             # tests may pass strings
+    return pd.DataFrame({
+        "nid": vals, "core_deg": pd.array(deg[sel], dtype="int64")})
+
+
+def _kcore_distributed(edges: "rd.Dataset", k: int, iterations: int,
+                       parts_for, n_edges: int) -> "rd.Dataset":
+    """Distributed peel rounds on int64 ids → (nid, core_deg) Dataset.
+    Each round: edge-halves fan-out keyed by endpoint (degree = group
+    size inside the endpoint's partition), then re-join the two halves
+    on (a, b) keeping edges whose both endpoints passed deg ≥ k — two
+    int64 exchanges per round, nothing node-scaled on the driver.
+    Early-stops when a round's edge count is unchanged (the fixpoint;
+    the fixed-T oracle's remaining rounds are no-ops by then)."""
+    from .analytics import _part_apply, _part_groupby_agg
+
+    def halves(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": pd.concat([b["a"], b["b"]], ignore_index=True),
+            "o": pd.concat([b["b"], b["a"]], ignore_index=True)})
+
+    def deg_mark(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        d = g.groupby("v", sort=False)["v"].transform("size") \
+            .to_numpy()
+        v = g["v"].to_numpy()
+        o = g["o"].to_numpy()
+        high = v > o
+        return pd.DataFrame({
+            "a": np.where(high, o, v).astype("int64"),
+            "b": np.where(high, v, o).astype("int64"),
+            "side": high.astype("int64"),
+            "ok": (d >= _k)})
+
+    def rejoin(g: pd.DataFrame) -> pd.DataFrame:
+        s0 = g[g["side"] == 0][["a", "b", "ok"]]
+        s1 = g[g["side"] == 1][["a", "b", "ok"]]
+        m = s0.merge(s1, on=["a", "b"])
+        return m.loc[m["ok_x"] & m["ok_y"], ["a", "b"]]
+
+    cur, n_cur = edges, n_edges
+    for _ in range(iterations):
+        nxt = _part_apply(
+            _part_apply(cur.map_batches(halves, batch_format="pandas"),
+                        ["v"], deg_mark,
+                        n_parts=parts_for(n_cur * 2 * 17)),
+            ["a", "b"], rejoin,
+            n_parts=parts_for(n_cur * 2 * 25)).materialize()
+        n_nxt = int(nxt.count())
+        if n_nxt == n_cur:
+            break                      # converged: nothing removed
+        cur, n_cur = nxt, n_nxt
+        if n_cur == 0:
+            break
+    if n_cur == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "nid": pd.Series(dtype="int64"),
+            "core_deg": pd.Series(dtype="int64")}))
+    return _part_groupby_agg(
+        cur.map_batches(halves, batch_format="pandas"), ["v"],
+        {"core_deg": ("v", "size")}).map_batches(
+        lambda b: pd.DataFrame({"nid": b["v"].astype("int64"),
+                                "core_deg":
+                                    b["core_deg"].astype("int64")}),
+        batch_format="pandas")
+
+
+def _kcore_oracle_sql(links_path: str, k: int = _KCORE_K,
+                      iterations: int = _KCORE_ITERS) -> str:
+    """Fixed-round synchronous peeling as chained CTEs over the oracle
+    crawler's links table (identical round semantics: degree over the
+    previous round's edges, drop nodes < k, keep edges with both
+    endpoints surviving; converged rounds are no-ops)."""
+    head = f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(from_url, to_url) AS a,
+                            GREATEST(from_url, to_url) AS b
+            FROM read_parquet('{links_path}')
+            WHERE from_url <> to_url)
+    """
+    its = []
+    for t in range(1, iterations + 1):
+        its.append(f"""
+        , d{t} AS MATERIALIZED (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM e{t - 1}
+                UNION ALL SELECT b FROM e{t - 1}) GROUP BY v)
+        , e{t} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{t - 1} e
+            JOIN d{t} da ON e.a = da.v AND da.d >= {k}
+            JOIN d{t} db ON e.b = db.v AND db.d >= {k})
+        """)
+    tail = f"""
+        SELECT v AS url, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+            SELECT a AS v FROM e{iterations}
+            UNION ALL SELECT b FROM e{iterations}) GROUP BY v
+    """
+    return head + "".join(its) + tail
 
 
 def crawl_images(sf_dir: str):

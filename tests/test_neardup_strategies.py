@@ -660,3 +660,46 @@ def test_hits_local_known_graph():
     assert out.loc["s1", "hub_ppm"] > out.loc["s2", "hub_ppm"] > 0
     assert out.loc["a", "hub_ppm"] == 0     # a links to nothing
     assert out.loc["s1", "auth_ppm"] == 0   # nothing links to s1
+
+
+def test_kcore_distributed_matches_local(ray_session):
+    """The distributed peel rounds (edge-halves fan-out + rejoin on
+    int64 ids) produce exactly the local vectorized peel, including the
+    map-back to urls."""
+    from ieps_crawler_ray.pipelines import flagship as F
+
+    sf = "/root/testdata/sf0.001"
+    local = F.crawl_kcore(sf, iterations=3)
+    dist = F.crawl_kcore(sf, iterations=3, strategy="partitioned")
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_kcore_converges_within_budget(ray_session):
+    """On the test world the peel reaches its fixpoint within the
+    default budget (so the fixed-T contract IS the k-core there): one
+    extra round changes nothing."""
+    from ieps_crawler_ray.pipelines import flagship as F
+
+    sf = "/root/testdata/sf0.001"
+    a = F.crawl_kcore(sf)
+    b = F.crawl_kcore(sf, iterations=F._KCORE_ITERS + 1)
+    pd.testing.assert_frame_equal(a, b)
+    if len(a):
+        assert (a["core_deg"] >= F._KCORE_K).all()
+
+
+def test_kcore_local_known_graph():
+    """4-clique + pendant chain: the 3-core is exactly the clique
+    (degree 3 each); the chain and its attachment edges peel away."""
+    from ieps_crawler_ray.pipelines.flagship import _kcore_local
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    edges = pd.DataFrame(clique + chain, columns=["a", "b"])
+    out = _kcore_local(edges, k=3, iterations=12) \
+        .sort_values("nid", ignore_index=True)
+    assert out["nid"].tolist() == [0, 1, 2, 3]
+    assert out["core_deg"].tolist() == [3, 3, 3, 3]
+    # k=2: the chain is still peeled (leaves), the clique survives
+    out2 = _kcore_local(edges, k=2, iterations=12)
+    assert sorted(out2["nid"]) == [0, 1, 2, 3]

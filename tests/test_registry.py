@@ -32,9 +32,9 @@ ROTATED_OUT_R5 = {
     "crawl_host_stats", "image_caption_dedup", "image_caption_align",
     "audio_features", "video_frames",
     # driver-green r2-r4 with unchanged code, moved past the cap to
-    # make room for the two NEW round-5 operators (crawl_hits,
-    # image_tile_gradients), which had never been driver-checked
-    "events_asof_join", "user_funnel",
+    # make room for the three NEW round-5 operators (crawl_hits,
+    # crawl_kcore, image_tile_gradients), never driver-checked before
+    "events_asof_join", "user_funnel", "events_distinct_users_hll",
 }
 
 ROTATED_IN_R5 = (
@@ -59,8 +59,7 @@ def test_cap_covers_crawl_and_image_families(ray_session):
            if n not in first50 and n not in ROTATED_OUT_R5]
     assert not out, f"crawl/multimodal entries past the cap: {out}"
     for must in ("crawl_flagship", "image_phash_neardup", "crawl_pagerank",
-                 "crawl_link_triangles", "crawl_hits",
-                 "image_tile_gradients", "events_distinct_users_hll",
-                 "minhash_lsh_neardup", "embedding_semdedup") \
-            + ROTATED_IN_R5:
+                 "crawl_link_triangles", "crawl_hits", "crawl_kcore",
+                 "image_tile_gradients", "minhash_lsh_neardup",
+                 "embedding_semdedup") + ROTATED_IN_R5:
         assert must in first50, must
