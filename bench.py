@@ -191,7 +191,13 @@ def run_scaling() -> None:
             # inflating the small levels on a quiet host and making the
             # N-vs-4N efficiency ratio depend on host load instead of
             # the engine.
-            cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable,
+            # pin to the first n cpus of OUR allowed set, not literal
+            # ids 0..n-1 — a cgroup-restricted host may expose a
+            # non-contiguous cpuset and the literal range would fail
+            # sched_setaffinity (r5 review)
+            allowed = sorted(os.sched_getaffinity(0))
+            pin = ",".join(str(c) for c in allowed[:n])
+            cmd = ["taskset", "-c", pin, sys.executable,
                    os.path.abspath(__file__)]
             out = subprocess.run(
                 cmd, env=env,

@@ -1052,7 +1052,7 @@ def crawl_link_triangles(sf_dir: str):
     clustering coefficient is the integer micro ratio
     3·triangles·10⁶ // wedges."""
     import math
-    from .analytics import _part_apply, _PART_MIN, _PART_TARGET_BYTES
+    from .analytics import _part_apply, _parts_for_bytes as parts_for
 
     def zero_row():
         return pd.DataFrame({
@@ -1067,15 +1067,6 @@ def crawl_link_triangles(sf_dir: str):
     if n_links == 0:
         return zero_row()
     link_bytes = links.size_bytes() or 0
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", _PART_MIN))
-    except Exception:
-        ncpu = _PART_MIN
-    floor = max(_PART_MIN, min(ncpu, 64))
-
-    def parts_for(nbytes: int) -> int:
-        return max(floor, -(-int(nbytes) // _PART_TARGET_BYTES))
-
     np_str = parts_for(2 * link_bytes)   # url-keyed (string) exchanges
     np_int = parts_for(n_links * 32)     # int64 pair exchanges
 
@@ -1245,7 +1236,7 @@ def crawl_kcore(sf_dir: str, k: int = _KCORE_K,
     under ``_KCORE_LOCAL_LIMIT_EDGES`` the int64 edge list iterates
     vectorized on the driver; a parity test pins both paths. Returns
     (url, core_deg) for nodes in the surviving subgraph."""
-    from .analytics import _part_apply, _PART_MIN, _PART_TARGET_BYTES
+    from .analytics import _part_apply, _parts_for_bytes as parts_for
 
     def empty():
         return pd.DataFrame({"url": pd.Series(dtype=object),
@@ -1257,15 +1248,6 @@ def crawl_kcore(sf_dir: str, k: int = _KCORE_K,
     if n_links == 0:
         return empty()
     link_bytes = links.size_bytes() or 0
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", _PART_MIN))
-    except Exception:
-        ncpu = _PART_MIN
-    floor = max(_PART_MIN, min(ncpu, 64))
-
-    def parts_for(nbytes: int) -> int:
-        return max(floor, -(-int(nbytes) // _PART_TARGET_BYTES))
-
     edges, nodemap = _encoded_undirected_edges(
         links, parts_for(2 * link_bytes), parts_for(n_links * 32),
         with_nodemap=True)
@@ -2920,14 +2902,19 @@ def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
     # the fan-out groups on part = hash(key) % P (bounded group count),
     # not the raw node key: each group is a PARTITION whose edge rows
     # merge-join the co-partitioned rank row vectorized — same shuffle
-    # shape, no per-node pandas call at 10^10 nodes
-    from .analytics import _FANOUT_PARTITIONS
+    # shape, no per-node pandas call at 10^10 nodes. P is byte-derived
+    # from the (materialized) edge table so it grows with the graph
+    # (no constant per-task-memory cap); rank rows are node-scaled,
+    # bounded by the edge bytes
+    from .analytics import _FANOUT_PARTITIONS, _parts_for_bytes
     from .crawl import _key_parts
+    n_parts = _parts_for_bytes(2 * (edges.size_bytes() or 0),
+                               floor=_FANOUT_PARTITIONS)
 
     def to_edge(b: pa.Table) -> pa.Table:
         return pa.table({"key": b.column("parent_url"),
                          "part": _key_parts(b.column("parent_url"),
-                                            _FANOUT_PARTITIONS),
+                                            n_parts),
                          "dst": b.column("url"),
                          "rank": pa.nulls(b.num_rows, pa.float64()),
                          "deg": pa.nulls(b.num_rows, pa.int64())})
@@ -2935,7 +2922,7 @@ def _pagerank_distributed(edges: "rd.Dataset", iterations: int,
     def to_rank(b: pa.Table) -> pa.Table:
         return pa.table({"key": b.column("node"),
                          "part": _key_parts(b.column("node"),
-                                            _FANOUT_PARTITIONS),
+                                            n_parts),
                          "dst": pa.nulls(b.num_rows, pa.string()),
                          "rank": b.column("rank"),
                          "deg": b.column("deg")})
@@ -3130,8 +3117,15 @@ def _hits_distributed(edges: "rd.Dataset", iterations: int
     half-iteration bounds lineage growth (the same pattern as
     ``_pagerank_distributed``)."""
     from .analytics import (_FANOUT_PARTITIONS, _distinct_rows,
-                            _part_groupby_agg)
+                            _part_groupby_agg, _parts_for_bytes)
     from .crawl import _key_parts
+
+    # per-iteration exchange partition count: byte-derived from the
+    # (materialized) edge table — the tagged union per half-iteration
+    # holds one edge copy + node-scaled score rows, both bounded by
+    # the edge bytes — so per-task memory does not grow with the graph
+    n_parts = _parts_for_bytes(2 * (edges.size_bytes() or 0),
+                               floor=_FANOUT_PARTITIONS)
 
     def as_node(col):
         def f(b: pa.Table) -> pa.Table:
@@ -3147,7 +3141,7 @@ def _hits_distributed(edges: "rd.Dataset", iterations: int
         def f(b: pa.Table) -> pa.Table:
             return pa.table({
                 "key": b.column(key_col),
-                "part": _key_parts(b.column(key_col), _FANOUT_PARTITIONS),
+                "part": _key_parts(b.column(key_col), n_parts),
                 "other": b.column(other_col),
                 "s": pa.nulls(b.num_rows, pa.int64())})
         return f
@@ -3162,7 +3156,7 @@ def _hits_distributed(edges: "rd.Dataset", iterations: int
     def to_score(b: pa.Table) -> pa.Table:
         return pa.table({
             "key": b.column("node"),
-            "part": _key_parts(b.column("node"), _FANOUT_PARTITIONS),
+            "part": _key_parts(b.column("node"), n_parts),
             "other": pa.nulls(b.num_rows, pa.string()),
             "s": b.column("s")})
 
